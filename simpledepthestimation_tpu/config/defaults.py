@@ -1,0 +1,93 @@
+"""Canonical default config schema.
+
+Mirrors the key schema of the reference config tree
+(reference detectron2/config/defaults.py:18-167) so user yaml configs carry
+over unchanged, with TPU-specific additions under ``TPU`` (mesh/precision)
+replacing the CUDA-specific keys (``MODEL.DEVICE``/``CUDNN_BENCHMARK``).
+The schema is open: project yamls may add keys (e.g. ``LOSS.*``) freely.
+"""
+
+from .config import CfgNode as CN
+
+_C = CN()
+_C.VERSION = 2
+
+_C.MODEL = CN()
+_C.MODEL.META_ARCHITECTURE = ""
+_C.MODEL.WEIGHTS = ""
+_C.MODEL.PIXEL_MEAN = [0.485, 0.456, 0.406]
+_C.MODEL.PIXEL_STD = [0.229, 0.224, 0.225]
+_C.MODEL.MAX_DEPTH = 80
+
+_C.MODEL.DEPTH_NET = CN()
+_C.MODEL.DEPTH_NET.NAME = ""
+
+_C.MODEL.POSE_NET = CN()
+_C.MODEL.POSE_NET.NAME = ""
+
+_C.INPUT = CN()
+
+_C.DATASETS = CN()
+_C.DATASETS.TRAIN = CN()
+_C.DATASETS.TRAIN.NAME = ""
+_C.DATASETS.TRAIN.SPLIT = ""
+_C.DATASETS.TRAIN.DATA_ROOT = ""
+_C.DATASETS.TRAIN.IMG_WIDTH = 768
+_C.DATASETS.TRAIN.IMG_HEIGHT = 384
+_C.DATASETS.TRAIN.PREPROCESS = []
+
+_C.DATASETS.TEST = CN()
+_C.DATASETS.TEST.NAME = ""
+_C.DATASETS.TEST.SPLIT = ""
+_C.DATASETS.TEST.DATA_ROOT = ""
+_C.DATASETS.TEST.IMG_WIDTH = 768
+_C.DATASETS.TEST.IMG_HEIGHT = 384
+_C.DATASETS.TEST.PREPROCESS = []
+
+_C.DATALOADER = CN()
+_C.DATALOADER.NUM_WORKERS = 6
+_C.DATALOADER.SAMPLER_TRAIN = "DDPSampler"
+_C.DATALOADER.PREFETCH = 2
+
+_C.LOSS = CN()
+
+_C.SOLVER = CN()
+_C.SOLVER.MAX_EPOCHS = 10
+_C.SOLVER.DEPTH_LR = 0.001
+_C.SOLVER.CHECKPOINT_PERIOD = 1
+_C.SOLVER.IMS_PER_BATCH = 16
+_C.SOLVER.REFERENCE_WORLD_SIZE = 0
+_C.SOLVER.GRAD_CLIP = 0.0
+
+_C.TEST = CN()
+_C.TEST.EVAL_PERIOD = 1
+_C.TEST.GT_SCALE = False
+_C.TEST.MIN_DEPTH = 0.001
+_C.TEST.MAX_DEPTH = 80.0
+
+_C.EVALUATORS = ("",)
+
+# ---------------------------------------------------------------------------
+# TPU runtime (replaces MODEL.DEVICE / CUDNN_BENCHMARK in the reference).
+# ---------------------------------------------------------------------------
+_C.TPU = CN()
+# Axis names and sizes for the device mesh. 0 = use all available devices on
+# the data axis. Parallelism is data-parallel by default (the reference's DDP
+# analog); the mesh is extensible to model axes for larger nets.
+_C.TPU.MESH_AXES = ("data",)
+_C.TPU.MESH_SHAPE = (0,)
+# Compute dtype for the network ("bfloat16" or "float32"). Params stay fp32.
+_C.TPU.COMPUTE_DTYPE = "bfloat16"
+# Donate the train state buffers to the step function (in-place updates).
+_C.TPU.DONATE = True
+# Use jax.checkpoint (remat) on encoder blocks to trade FLOPs for HBM.
+_C.TPU.REMAT = False
+
+_C.OUTPUT_DIR = "./output"
+_C.SEED = -1
+_C.VIS_PERIOD = 0
+_C.LOG_PERIOD = 20
+_C.RUN_NAME = ""
+
+_C.GLOBAL = CN()
+_C.GLOBAL.HACK = 1.0

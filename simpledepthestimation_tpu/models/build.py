@@ -1,0 +1,38 @@
+"""Model registries and builders.
+
+Parity with reference detectron2/modeling/{meta_arch,depth_net,pose_net}/build.py:
+string names in yaml select the meta-architecture and its sub-nets. Builders
+return Flax module instances (pure, no device placement — sharding happens at
+the train-step level).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..utils.registry import Registry
+
+META_ARCH_REGISTRY = Registry("META_ARCH")
+DEPTH_NET_REGISTRY = Registry("DEPTH_NET")
+POSE_NET_REGISTRY = Registry("POSE_NET")
+
+
+def compute_dtype(cfg) -> jnp.dtype:
+    name = cfg.TPU.get("COMPUTE_DTYPE", "float32") if "TPU" in cfg else "float32"
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+def build_depth_net(cfg):
+    name = cfg.MODEL.DEPTH_NET.NAME
+    return DEPTH_NET_REGISTRY.get(name).from_cfg(cfg)
+
+
+def build_pose_net(cfg):
+    name = cfg.MODEL.POSE_NET.NAME
+    return POSE_NET_REGISTRY.get(name).from_cfg(cfg)
+
+
+def build_model(cfg):
+    """Build the meta-architecture module named by cfg.MODEL.META_ARCHITECTURE."""
+    meta_arch = cfg.MODEL.META_ARCHITECTURE
+    return META_ARCH_REGISTRY.get(meta_arch).from_cfg(cfg)

@@ -1,0 +1,156 @@
+"""SPMD train/eval step builders.
+
+The TPU-native replacement for the reference's DDP step (reference
+detectron2/engine/train_loop.py:217-249 + torch DDP gradient all-reduce):
+one jitted function over a device mesh. The batch is sharded on the 'data'
+axis, parameters are replicated; XLA derives the gradient ``psum`` over ICI
+from the shardings — there is no explicit collective in user code.
+
+Buffer donation (``TPU.DONATE``) makes the state update in-place in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from .mesh import data_sharding, replicated
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(model, optimizer, sample_batch, rng) -> TrainState:
+    """Initialize parameters/batch-stats from a sample batch."""
+    variables = model.init(
+        {"params": rng, "noise": jax.random.fold_in(rng, 1)}, sample_batch, train=True
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=optimizer.init(params),
+    )
+
+
+def make_train_step(
+    model,
+    optimizer,
+    mesh,
+    donate: bool = True,
+    grad_clip: float = 0.0,
+    extra_scalar_keys: Tuple[str, ...] = (),
+):
+    """Build the jitted SPMD train step.
+
+    Returned fn: ``(state, batch, step_rng) -> (state, metrics)`` where batch
+    is data-sharded and metrics is a dict of replicated scalars (total loss,
+    each loss term, grad norm).
+
+    ``extra_scalar_keys`` names batch entries that are per-step scalars
+    (schedules such as the MotionLearning noise stddev / motion burn-in
+    weight — reference projects/MotionLearning/train.py:105-114 — passed as
+    traced inputs instead of module mutation).
+    """
+
+    def loss_fn(params, batch_stats, batch, step_rng):
+        variables = {"params": params}
+        mutable = []
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        outputs, new_vars = model.apply(
+            variables,
+            batch,
+            train=True,
+            mutable=mutable,
+            rngs={"noise": step_rng},
+        )
+        total = jnp.sum(jnp.stack([v for v in outputs.values()]))
+        new_stats = new_vars.get("batch_stats", batch_stats) if mutable else batch_stats
+        return total, (outputs, new_stats)
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], step_rng) -> Tuple[TrainState, Dict]:
+        (total, (loss_dict, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, step_rng)
+
+        grad_norm = optax.global_norm(grads)
+        if grad_clip > 0.0:
+            scale = jnp.minimum(1.0, grad_clip / (grad_norm + 1e-12))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        metrics = {"total_loss": total, "grad_norm": grad_norm}
+        metrics.update(loss_dict)
+        return new_state, metrics
+
+    rep = replicated(mesh)
+    dsh = data_sharding(mesh)
+
+    def batch_sharding(batch):
+        n = mesh.shape.get("data", 1)
+        return {
+            k: (dsh if (hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] % n == 0) else rep)
+            for k, v in batch.items()
+        }
+
+    def compile_for(batch):
+        return jax.jit(
+            step_fn,
+            in_shardings=(rep, batch_sharding(batch), rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,) if donate else (),
+        )
+
+    # cache one compiled step per batch structure
+    _cache: Dict[Tuple, Callable] = {}
+
+    def run(state, batch, step_rng):
+        key = tuple(sorted((k, getattr(v, "shape", None)) for k, v in batch.items()))
+        if key not in _cache:
+            _cache[key] = compile_for(batch)
+        return _cache[key](state, batch, step_rng)
+
+    return run
+
+
+def make_eval_step(model, mesh):
+    """Jitted eval forward: ``(state, batch) -> depth_pred`` (replicated out,
+    batch data-sharded when divisible)."""
+    rep = replicated(mesh)
+    dsh = data_sharding(mesh)
+
+    def eval_fn(params, batch_stats, batch):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out = model.apply(variables, batch, train=False)
+        return out["depth_pred"]
+
+    jitted = jax.jit(eval_fn, out_shardings=rep)
+
+    def run(state: TrainState, batch):
+        return jitted(state.params, state.batch_stats, batch)
+
+    return run

@@ -1,0 +1,196 @@
+"""Golden-value tests of the geometry layer against torch (CPU) as oracle.
+
+The torch ops tested against are the exact primitives the reference builds on
+(F.grid_sample / F.interpolate); parity here is the correctness linchpin of
+the self-supervised losses (SURVEY.md §7 hard parts).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import torch
+import torch.nn.functional as F
+
+from simpledepthestimation_tpu.geometry import (
+    camera,
+    inv_intrinsics,
+    scale_intrinsics,
+    view_synthesis,
+    pose_vec2mat,
+    invert_pose,
+    euler2mat,
+)
+from simpledepthestimation_tpu.ops.resample import grid_sample_bilinear, resample_bilinear
+
+
+def _rand_K(B, rng):
+    K = np.zeros((B, 3, 3), np.float32)
+    K[:, 0, 0] = rng.uniform(300, 800, B)
+    K[:, 1, 1] = rng.uniform(300, 800, B)
+    K[:, 0, 2] = rng.uniform(100, 400, B)
+    K[:, 1, 2] = rng.uniform(50, 200, B)
+    K[:, 2, 2] = 1.0
+    return K
+
+
+def test_inv_intrinsics(rng):
+    K = _rand_K(4, rng)
+    Kinv = np.asarray(inv_intrinsics(jnp.asarray(K)))
+    for b in range(4):
+        np.testing.assert_allclose(Kinv[b] @ K[b], np.eye(3), atol=1e-4)
+
+
+def test_scale_intrinsics(rng):
+    K = _rand_K(2, rng)
+    out = np.asarray(scale_intrinsics(jnp.asarray(K), 0.5, 0.25))
+    np.testing.assert_allclose(out[:, 0, 0], K[:, 0, 0] * 0.5, rtol=1e-6)
+    np.testing.assert_allclose(out[:, 1, 1], K[:, 1, 1] * 0.25, rtol=1e-6)
+    np.testing.assert_allclose(out[:, 0, 2], K[:, 0, 2] * 0.5, rtol=1e-6)
+    np.testing.assert_allclose(out[:, 1, 2], K[:, 1, 2] * 0.25, rtol=1e-6)
+    np.testing.assert_allclose(out[:, 2, 2], 1.0, rtol=1e-6)
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 12, 3), (1, 16, 16, 1)])
+def test_grid_sample_parity_random_grid(rng, shape):
+    B, H, W, C = shape
+    img = rng.rand(B, H, W, C).astype(np.float32)
+    # grid beyond [-1,1] to exercise zeros padding
+    grid = rng.uniform(-1.3, 1.3, (B, H, W, 2)).astype(np.float32)
+
+    ours = np.asarray(grid_sample_bilinear(jnp.asarray(img), jnp.asarray(grid)))
+
+    timg = torch.from_numpy(img).permute(0, 3, 1, 2)
+    tgrid = torch.from_numpy(grid)
+    ref = F.grid_sample(timg, tgrid, mode="bilinear", padding_mode="zeros", align_corners=True)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_grid_sample_gradients_match_torch(rng):
+    B, H, W, C = 1, 6, 7, 2
+    img = rng.rand(B, H, W, C).astype(np.float32)
+    grid = rng.uniform(-0.9, 0.9, (B, H, W, 2)).astype(np.float32)
+
+    def loss_jax(img_j, grid_j):
+        return jnp.sum(grid_sample_bilinear(img_j, grid_j) ** 2)
+
+    gi, gg = jax.grad(loss_jax, argnums=(0, 1))(jnp.asarray(img), jnp.asarray(grid))
+
+    timg = torch.from_numpy(img).permute(0, 3, 1, 2).requires_grad_(True)
+    tgrid = torch.from_numpy(grid).requires_grad_(True)
+    out = F.grid_sample(timg, tgrid, mode="bilinear", padding_mode="zeros", align_corners=True)
+    (out**2).sum().backward()
+
+    np.testing.assert_allclose(
+        np.asarray(gi), timg.grad.permute(0, 2, 3, 1).numpy(), atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(gg), tgrid.grad.numpy(), atol=1e-4)
+
+
+def test_resize_bilinear_parity(rng):
+    img = rng.rand(2, 12, 16, 3).astype(np.float32)
+    ours = np.asarray(camera.resize_img(jnp.asarray(img), (6, 8), mode="bilinear"))
+    ref = F.interpolate(
+        torch.from_numpy(img).permute(0, 3, 1, 2), size=(6, 8), mode="bilinear", align_corners=True
+    )
+    np.testing.assert_allclose(ours, ref.permute(0, 2, 3, 1).numpy(), atol=1e-5)
+
+
+def test_resize_nearest_parity(rng):
+    img = rng.rand(2, 12, 16, 3).astype(np.float32)
+    ours = np.asarray(camera.resize_img(jnp.asarray(img), (5, 7), mode="nearest"))
+    ref = F.interpolate(torch.from_numpy(img).permute(0, 3, 1, 2), size=(5, 7), mode="nearest")
+    np.testing.assert_allclose(ours, ref.permute(0, 2, 3, 1).numpy(), atol=1e-6)
+
+
+def test_identity_view_synthesis(rng):
+    """Zero depth-motion, identity pose → warp reproduces the image at valid px."""
+    B, H, W = 1, 16, 20
+    img = rng.rand(B, H, W, 3).astype(np.float32)
+    depth = rng.uniform(2, 10, (B, H, W, 1)).astype(np.float32)
+    K = _rand_K(B, rng)
+    R = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+    t = np.zeros((B, 3, 1), np.float32)
+
+    sampled, depth_in_B, coords, valid = view_synthesis(
+        jnp.asarray(img), jnp.asarray(depth), jnp.asarray(K), jnp.asarray(R), jnp.asarray(t)
+    )
+    sampled = np.asarray(sampled)
+    valid = np.asarray(valid)
+    mask = valid[..., 0] > 0
+    np.testing.assert_allclose(sampled[mask], img[mask], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(depth_in_B)[mask], depth[mask], rtol=1e-4)
+
+
+def test_view_synthesis_translation_shift(rng):
+    """A pure-x camera translation shifts the image by fx*tx/Z pixels."""
+    B, H, W = 1, 12, 32
+    # image with a distinctive column pattern
+    img = np.tile(np.arange(W, dtype=np.float32)[None, None, :, None], (B, H, 1, 1))
+    Z = 5.0
+    depth = np.full((B, H, W, 1), Z, np.float32)
+    K = np.array([[[50.0, 0, 16], [0, 50.0, 6], [0, 0, 1]]], np.float32)
+    R = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+    tx = 0.5
+    t = np.array([[[tx], [0.0], [0.0]]], np.float32)
+
+    sampled, _, _, valid = view_synthesis(
+        jnp.asarray(img), jnp.asarray(depth), jnp.asarray(K), jnp.asarray(R), jnp.asarray(t)
+    )
+    shift = 50.0 * tx / Z  # = 5 px
+    sampled = np.asarray(sampled)
+    valid = np.asarray(valid)[..., 0] > 0
+    expected = img[..., 0] + shift
+    err = np.abs(sampled[..., 0] - expected)[valid & (expected[..., None][..., 0] < W - 1)]
+    assert err.max() < 1e-2
+
+
+def test_pose_vec2mat_against_torch_semantics(rng):
+    vec = rng.uniform(-0.1, 0.1, (3, 6)).astype(np.float32)
+    T = np.asarray(pose_vec2mat(jnp.asarray(vec)))
+    assert T.shape == (3, 4, 4)
+    np.testing.assert_allclose(T[:, 3], np.tile([0, 0, 0, 1], (3, 1)), atol=1e-7)
+    np.testing.assert_allclose(T[:, :3, 3], vec[:, :3], atol=1e-7)
+    # rotation orthonormal
+    R = T[:, :3, :3]
+    for b in range(3):
+        np.testing.assert_allclose(R[b] @ R[b].T, np.eye(3), atol=1e-5)
+    # euler order: R = Rx @ Ry @ Rz (reference pose_utils.py:98-127)
+    ang = vec[:, 3:]
+    from simpledepthestimation_tpu.geometry.pose import rotx_np, roty_np, rotz_np
+
+    for b in range(3):
+        Rnp = rotx_np(ang[b, 0]) @ roty_np(ang[b, 1]) @ rotz_np(ang[b, 2])
+        np.testing.assert_allclose(R[b], Rnp, atol=1e-5)
+
+
+def test_invert_pose(rng):
+    vec = rng.uniform(-0.2, 0.2, (4, 6)).astype(np.float32)
+    T = pose_vec2mat(jnp.asarray(vec))
+    Tinv = invert_pose(T)
+    prod = np.asarray(jnp.matmul(T, Tinv))
+    for b in range(4):
+        np.testing.assert_allclose(prod[b], np.eye(4), atol=1e-5)
+
+
+def test_resample_matches_grid_sample(rng):
+    B, H, W, C = 2, 9, 11, 3
+    img = rng.rand(B, H, W, C).astype(np.float32)
+    x = rng.uniform(0, W - 1, (B, H, W)).astype(np.float32)
+    y = rng.uniform(0, H - 1, (B, H, W)).astype(np.float32)
+    direct = np.asarray(resample_bilinear(jnp.asarray(img), jnp.asarray(x), jnp.asarray(y)))
+
+    gx = 2 * x / (W - 1) - 1
+    gy = 2 * y / (H - 1) - 1
+    ref = F.grid_sample(
+        torch.from_numpy(img).permute(0, 3, 1, 2),
+        torch.from_numpy(np.stack([gx, gy], -1)),
+        mode="bilinear",
+        padding_mode="zeros",
+        align_corners=True,
+    )
+    np.testing.assert_allclose(direct, ref.permute(0, 2, 3, 1).numpy(), atol=1e-5)
