@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Headline benchmark: MonoDepth2-R18 KITTI-shape training throughput.
+
+Measures steady-state images/sec/chip for the full self-supervised train step
+(DepthResNet-18 + PoseNet + 4-scale min-reprojection photometric loss +
+Adam update) at the reference training shape 192×640, batch 16, bf16 compute
+(reference config projects/MonoDepth2/configs/resnet18.yaml).
+
+Baseline normalization: the reference trains on 2 GPUs (README.md:50) with no
+published throughput; BASELINE.json's target is ≥3× the 2-GPU total on
+v5e-8. Assuming a 2-GPU baseline of 30 img/s total (typical for this model on
+the 2-GPU cards of its era), the per-chip target is 3×30/8 = 11.25
+images/sec/chip; vs_baseline = value / 11.25.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _tiny_cfg, _train_batch
+    from simpledepthestimation_tpu.models import build_model
+    from simpledepthestimation_tpu.parallel import (
+        build_mesh,
+        create_train_state,
+        make_train_step,
+    )
+    from simpledepthestimation_tpu.solver import build_optimizer
+
+    n_dev = len(jax.devices())
+    mesh = build_mesh(("data",), (n_dev,))
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = "bfloat16" if on_tpu else "float32"
+    cfg = _tiny_cfg(dtype)
+
+    B, H, W = (16, 192, 640) if on_tpu else (4, 64, 96)
+    batch = _train_batch(B, H, W)
+
+    model = build_model(cfg)
+    optimizer, _ = build_optimizer(cfg, steps_per_epoch=100)
+    state = create_train_state(model, optimizer, batch, jax.random.PRNGKey(0))
+    train_step = make_train_step(model, optimizer, mesh, donate=True)
+
+    key = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    for i in range(3):
+        state, metrics = train_step(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(metrics["total_loss"])
+
+    n_steps = 20 if on_tpu else 5
+    start = time.perf_counter()
+    for i in range(n_steps):
+        state, metrics = train_step(state, batch, jax.random.fold_in(key, 100 + i))
+    jax.block_until_ready(metrics["total_loss"])
+    elapsed = time.perf_counter() - start
+
+    images_per_sec = n_steps * B / elapsed
+    per_chip = images_per_sec / n_dev
+    target_per_chip = 11.25  # 3 × assumed 30 img/s 2-GPU baseline / 8 chips
+
+    print(
+        json.dumps(
+            {
+                "metric": "MonoDepth2-R18 KITTI train throughput",
+                "value": round(per_chip, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(per_chip / target_per_chip, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

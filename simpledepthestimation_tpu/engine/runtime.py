@@ -1,0 +1,198 @@
+"""Cfg-driven training/eval runtime shared by the project entry points.
+
+This is the TPU-native counterpart of the per-project ``do_train``/``do_test``
+loops (reference projects/Supervised/train.py:47-143,
+projects/MonoDepth2/train.py:44-119, projects/MotionLearning/train.py:53-174):
+epoch-based loop, per-epoch checkpointing, periodic eval, writer flushing —
+assembled around the SPMD jitted step instead of DDP.
+
+Per-step schedule scalars (noise stddev ramp, motion burn-in weight) are
+injected into the batch by ``extra_batch_fn(step) -> dict`` so they stay
+traced inputs to the jitted step.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CfgNode
+from ..data import build_train_loader, build_test_loader
+from ..models import build_model
+from ..parallel import (
+    build_mesh,
+    create_train_state,
+    make_train_step,
+    make_eval_step,
+    place_replicated,
+)
+from ..solver import build_optimizer
+from ..evaluation import build_evaluator, DatasetEvaluators, inference_on_dataset
+from ..utils import comm
+from ..utils.events import EventStorage
+from .checkpoint import Checkpointer, PeriodicCheckpointer
+from .defaults import default_writers
+
+logger = logging.getLogger(__name__)
+
+
+def build_mesh_from_cfg(cfg):
+    return build_mesh(tuple(cfg.TPU.MESH_AXES), tuple(cfg.TPU.MESH_SHAPE))
+
+
+def _sample_batch_for_init(loader) -> Dict[str, np.ndarray]:
+    batch = next(iter(loader))
+    return {k: v for k, v in batch.items() if hasattr(v, "shape")}
+
+
+def do_test(cfg: CfgNode, state=None, mesh=None, model=None) -> Dict:
+    """Evaluate: reference projects/Supervised/train.py:62-67 + §3.3."""
+    mesh = mesh or build_mesh_from_cfg(cfg)
+    model = model or build_model(cfg)
+
+    loader = build_test_loader(cfg)
+    if loader is None:
+        logger.info("No test dataset configured; skipping eval")
+        return {}
+
+    if state is None:
+        # eval-only entry: init then load MODEL.WEIGHTS
+        sample = _sample_batch_for_init(loader)
+        from ..solver import build_optimizer as _bo
+
+        optimizer, _ = _bo(cfg, steps_per_epoch=1)
+        state = create_train_state(model, optimizer, sample, jax.random.PRNGKey(0))
+        ckpt = Checkpointer(cfg.OUTPUT_DIR)
+        state, _ = ckpt.resume_or_load(cfg.MODEL.WEIGHTS, state, resume=True)
+        state = place_replicated(state, mesh)
+
+    eval_step = make_eval_step(model, mesh)
+
+    def eval_fn(inputs):
+        batch = {k: v for k, v in inputs.items() if hasattr(v, "shape")}
+        return eval_step(state, batch)
+
+    evaluators = DatasetEvaluators(build_evaluator(cfg, cfg.OUTPUT_DIR))
+    return inference_on_dataset(eval_fn, loader, evaluators)
+
+
+def do_train(
+    cfg: CfgNode,
+    resume: bool = False,
+    extra_batch_fn: Optional[Callable[[int], Dict[str, np.ndarray]]] = None,
+    model=None,
+) -> None:
+    mesh = build_mesh_from_cfg(cfg)
+    model = model or build_model(cfg)
+
+    seed = cfg.SEED if cfg.SEED >= 0 else 0
+    loader = build_train_loader(cfg, seed=seed)
+    steps_per_epoch = len(loader)
+    max_epochs = int(cfg.SOLVER.MAX_EPOCHS)
+    max_iter = steps_per_epoch * max_epochs
+
+    optimizer, lr_schedule = build_optimizer(cfg, steps_per_epoch)
+
+    sample = _sample_batch_for_init(loader)
+    rng = jax.random.PRNGKey(seed)
+    state = create_train_state(model, optimizer, sample, rng)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    logger.info(f"Model has {n_params / 1e6:.2f}M parameters")
+
+    train_step = make_train_step(
+        model,
+        optimizer,
+        mesh,
+        donate=bool(cfg.TPU.DONATE),
+        grad_clip=float(cfg.SOLVER.get("GRAD_CLIP", 0.0)),
+    )
+
+    checkpointer = Checkpointer(cfg.OUTPUT_DIR)
+    state, start_epoch = checkpointer.resume_or_load(
+        cfg.MODEL.WEIGHTS, state, resume=resume
+    )
+    if resume or cfg.MODEL.WEIGHTS:
+        state = place_replicated(state, mesh)
+    periodic_ckpt = PeriodicCheckpointer(
+        checkpointer, int(cfg.SOLVER.CHECKPOINT_PERIOD), max_epochs
+    )
+
+    writers = default_writers(cfg.OUTPUT_DIR, max_iter) if comm.is_main_process() else []
+    log_period = int(cfg.LOG_PERIOD)
+    eval_period = int(cfg.TEST.EVAL_PERIOD)
+
+    base_key = jax.random.PRNGKey(seed + 777)
+
+    logger.info(f"Starting training from epoch {start_epoch}")
+    with EventStorage(start_epoch * steps_per_epoch) as storage:
+        storage.max_epoch = max_epochs
+        storage.max_iter_per_epoch = steps_per_epoch
+        step = start_epoch * steps_per_epoch
+        pending = []  # deferred metric fetches: (step, data_time, metrics)
+
+        def drain(all_: bool = False):
+            nonlocal pending
+            limit = 0 if all_ else 8
+            while len(pending) > limit:
+                it, dt, m = pending.pop(0)
+                m = jax.device_get(m)
+                total = float(m.get("total_loss", 0.0))
+                if not np.isfinite(total):
+                    raise FloatingPointError(
+                        f"Loss is {total} at iteration {it}: { {k: float(v) for k, v in m.items()} }"
+                    )
+                storage.iter = it
+                storage.put_scalar("data_time", dt)
+                for k, v in m.items():
+                    storage.put_scalar(k, float(v))
+                storage.put_scalar("lr", float(lr_schedule(it)), smoothing_hint=False)
+
+        for epoch in range(start_epoch, max_epochs):
+            storage.epoch = epoch
+            loader.set_epoch(epoch)
+            t_data = time.perf_counter()
+            for batch in loader:
+                data_time = time.perf_counter() - t_data
+                if extra_batch_fn is not None:
+                    batch = {**batch, **extra_batch_fn(step)}
+                step_key = jax.random.fold_in(base_key, step)
+                state, metrics = train_step(state, batch, step_key)
+                pending.append((step, data_time, metrics))
+                drain()
+
+                step += 1
+                storage.iter = step
+                if step % log_period == 0:
+                    drain(all_=True)
+                    for writer in writers:
+                        writer.write()
+                t_data = time.perf_counter()
+
+            drain(all_=True)
+            periodic_ckpt.step(epoch, state)
+
+            if eval_period > 0 and (epoch + 1) % eval_period == 0:
+                results = do_test(cfg, state=state, mesh=mesh, model=model)
+                if results and comm.is_main_process():
+                    flat = {
+                        f"{task}/{k}": float(v)
+                        for task, ms in results.items()
+                        if isinstance(ms, dict)
+                        for k, v in ms.items()
+                    }
+                    if flat:
+                        storage.put_scalars(**flat, smoothing_hint=False)
+            comm.synchronize()
+
+        for writer in writers:
+            writer.write()
+            writer.close()
+
+    logger.info("Training complete")
+    return state

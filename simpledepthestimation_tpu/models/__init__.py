@@ -9,8 +9,12 @@ from .build import (
 
 # importing registers the components
 from . import depth_nets  # noqa: F401
+from . import packnet  # noqa: F401
+from . import bts  # noqa: F401
 from . import pose_nets  # noqa: F401
 from . import meta_arch  # noqa: F401
+from . import motion_meta_arch  # noqa: F401
+from . import google_resnet  # noqa: F401
 from . import losses  # noqa: F401
 
 __all__ = [

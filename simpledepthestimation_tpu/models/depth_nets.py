@@ -60,9 +60,11 @@ class DepthResNet(nn.Module):
         image: jnp.ndarray,
         flip: Optional[jnp.ndarray] = None,
         train: bool = False,
+        intrinsics: Optional[jnp.ndarray] = None,
     ) -> List[jnp.ndarray]:
         """image: [B,H,W,3] normalized. Returns 4 depth maps [B,h,w,1],
-        index 0 = full resolution."""
+        index 0 = full resolution. ``intrinsics`` is accepted for interface
+        uniformity (used by BTS for focal scaling) and ignored here."""
         if flip is not None:
             image = flip_images(image, flip)
 

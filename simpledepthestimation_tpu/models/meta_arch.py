@@ -54,7 +54,9 @@ class SupDepthModel(nn.Module):
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False) -> Dict[str, jnp.ndarray]:
         net_input = normalize_image(batch["img"], self.pixel_mean, self.pixel_std)
         flip = batch.get("flip")
-        depth_pred = self.depth_net(net_input, flip=flip, train=train)
+        depth_pred = self.depth_net(
+            net_input, flip=flip, train=train, intrinsics=batch.get("intrinsics")
+        )
 
         if not train:
             return {"depth_pred": depth_pred[0]}

@@ -18,8 +18,8 @@ from typing import Any, Callable, Sequence, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
-BLOCKS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3)}
-BOTTLENECK = {18: False, 34: False, 50: True}
+BLOCKS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+BOTTLENECK = {18: False, 34: False, 50: True, 101: True}
 
 
 class BasicBlock(nn.Module):

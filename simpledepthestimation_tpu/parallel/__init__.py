@@ -1,5 +1,11 @@
 from .mesh import build_mesh, data_sharding, replicated, shard_batch, local_batch_size
-from .train_step import TrainState, create_train_state, make_train_step, make_eval_step
+from .train_step import (
+    TrainState,
+    create_train_state,
+    make_train_step,
+    make_eval_step,
+    place_replicated,
+)
 
 __all__ = [
     "build_mesh",
@@ -11,4 +17,5 @@ __all__ = [
     "create_train_state",
     "make_train_step",
     "make_eval_step",
+    "place_replicated",
 ]

@@ -16,6 +16,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 from flax.core import FrozenDict
@@ -127,7 +128,9 @@ def make_train_step(
     _cache: Dict[Tuple, Callable] = {}
 
     def run(state, batch, step_rng):
-        key = tuple(sorted((k, getattr(v, "shape", None)) for k, v in batch.items()))
+        # strip host-only entries (metadata lists etc.) before tracing
+        batch = {k: v for k, v in batch.items() if hasattr(v, "shape")}
+        key = tuple(sorted((k, v.shape, str(v.dtype)) for k, v in batch.items()))
         if key not in _cache:
             _cache[key] = compile_for(batch)
         return _cache[key](state, batch, step_rng)
@@ -136,10 +139,11 @@ def make_train_step(
 
 
 def make_eval_step(model, mesh):
-    """Jitted eval forward: ``(state, batch) -> depth_pred`` (replicated out,
-    batch data-sharded when divisible)."""
+    """Jitted eval forward: ``(state, batch) -> depth_pred``.
+
+    Fully replicated (eval batch size is 1 — reference data/build.py:130-132 —
+    so there is no batch dim to shard)."""
     rep = replicated(mesh)
-    dsh = data_sharding(mesh)
 
     def eval_fn(params, batch_stats, batch):
         variables = {"params": params}
@@ -154,3 +158,13 @@ def make_eval_step(model, mesh):
         return jitted(state.params, state.batch_stats, batch)
 
     return run
+
+
+def place_replicated(tree, mesh):
+    """Place every leaf of a pytree replicated on the mesh (used after a
+    checkpoint restore, which yields host/single-device arrays)."""
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(np.asarray(x) if not hasattr(x, "devices") else x, rep),
+        tree,
+    )
