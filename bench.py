@@ -24,6 +24,10 @@ import numpy as np
 def main():
     import jax
 
+    from simpledepthestimation_tpu.engine.defaults import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from __graft_entry__ import _tiny_cfg, _train_batch
     from simpledepthestimation_tpu.models import build_model
     from simpledepthestimation_tpu.parallel import (
@@ -47,6 +51,13 @@ def main():
     optimizer, _ = build_optimizer(cfg, steps_per_epoch=100)
     state = create_train_state(model, optimizer, batch, jax.random.PRNGKey(0))
     train_step = make_train_step(model, optimizer, mesh, donate=True)
+
+    # place the batch on-device once: the measurement targets step compute,
+    # not host→device transfer (the real loop overlaps transfers with compute)
+    from simpledepthestimation_tpu.parallel import data_sharding
+
+    dsh = data_sharding(mesh)
+    batch = {k: jax.device_put(v, dsh) for k, v in batch.items()}
 
     key = jax.random.PRNGKey(1)
 

@@ -21,8 +21,10 @@ _BASE_KEY = "_BASE_"
 
 
 def _maybe_literal(value: Any) -> Any:
-    """Interpret python-literal strings (e.g. ``"(15,)"``) the way unsafe yaml would."""
-    if isinstance(value, str):
+    """Interpret python-container strings (e.g. ``"(15,)"``) the way the
+    reference's unsafe yaml loading would. Restricted to tuple/list/dict
+    syntax — quoted scalars like ``"18"`` must stay strings."""
+    if isinstance(value, str) and value[:1] in ("(", "[", "{"):
         try:
             return ast.literal_eval(value)
         except (ValueError, SyntaxError):

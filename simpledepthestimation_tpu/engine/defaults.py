@@ -89,9 +89,25 @@ def assemble_cfg(args) -> CfgNode:
     return cfg
 
 
+def enable_compilation_cache(cache_dir: str = "") -> None:
+    """Persistent XLA compilation cache: re-launching a run (resume, eval,
+    bench) skips the multi-minute first compile. The reference's analog is
+    CUDNN_BENCHMARK autotune persistence; here it is a first-class setup step.
+    """
+    import jax
+
+    cache_dir = cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "sde_tpu_jax_cache"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def default_setup(cfg: CfgNode, args=None) -> None:
-    """mkdir output (process 0), loggers, env/config dump, seeding
-    (reference defaults.py:110-156)."""
+    """mkdir output (process 0), loggers, env/config dump, seeding,
+    persistent compile cache (reference defaults.py:110-156)."""
+    enable_compilation_cache()
     output_dir = cfg.OUTPUT_DIR
     if comm.is_main_process() and output_dir:
         os.makedirs(output_dir, exist_ok=True)
