@@ -7,6 +7,7 @@ from .camera import (
     img_to_points,
     points_to_img,
     view_synthesis,
+    view_synthesis_v2,
 )
 from .pose import (
     euler2mat,
@@ -26,6 +27,7 @@ __all__ = [
     "img_to_points",
     "points_to_img",
     "view_synthesis",
+    "view_synthesis_v2",
     "euler2mat",
     "pose_vec2mat",
     "invert_pose",

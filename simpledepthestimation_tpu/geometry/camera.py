@@ -193,3 +193,33 @@ def view_synthesis(
     sampled_B = grid_sample_bilinear(image_B, norm_coords)
 
     return sampled_B, depth_in_B, norm_coords, valid
+
+
+def view_synthesis_v2(
+    image_B: jnp.ndarray,
+    depth_A: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    R_A_to_B: jnp.ndarray,
+    t_A_to_B: jnp.ndarray,
+):
+    """Variant sampling with the TF-style unnormalized-coordinate resampler
+    (reference camera.py:205-234). Same projection as :func:`view_synthesis`,
+    gather on raw pixel coords."""
+    from ..ops.resample import resampler_with_unstacked_warp
+
+    B, H, W, _ = image_B.shape
+    points_A = img_to_points(
+        depth_A, R=inv_intrinsics(intrinsics), t=jnp.zeros((B, 3, 1), image_B.dtype)
+    )
+    R = _einsum("bij,bjk->bik", intrinsics, R_A_to_B)
+    if t_A_to_B.ndim == 4:
+        t_flat = t_A_to_B.reshape(B, H * W, 3).transpose(0, 2, 1)
+    else:
+        t_flat = t_A_to_B.reshape(B, 3, 1)
+    t = _einsum("bij,bjn->bin", intrinsics, t_flat)
+
+    coords, depth_in_B, valid = points_to_img(points_A, R, t, H, W)
+    Xs = jnp.clip(jnp.nan_to_num(coords[..., 0]), 0.0, W - 1.0)
+    Ys = jnp.clip(jnp.nan_to_num(coords[..., 1]), 0.0, H - 1.0)
+    sampled_B = resampler_with_unstacked_warp(image_B, Xs, Ys)
+    return sampled_B, depth_in_B, jnp.stack([Xs, Ys], -1), valid

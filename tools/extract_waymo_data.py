@@ -44,8 +44,10 @@ def extract_segment(args):
         frame.ParseFromString(bytearray(record.numpy()))
 
         rel_dir = os.path.join(seg_name, f"{frame_idx:05d}")
-        frame_dir = os.path.join(out_dir, rel_dir)
-        os.makedirs(frame_dir, exist_ok=True)
+        img_dir_out = os.path.join(out_dir, "image", rel_dir)
+        depth_dir_out = os.path.join(out_dir, "depth", rel_dir)
+        os.makedirs(img_dir_out, exist_ok=True)
+        os.makedirs(depth_dir_out, exist_ok=True)
 
         (range_images, camera_projections, _, range_image_top_pose) = (
             frame_utils.parse_range_image_and_camera_projection(frame)
@@ -62,7 +64,7 @@ def extract_segment(args):
             cam_name = dataset_pb2.CameraName.Name.Name(img_proto.name)
             img = tf.image.decode_jpeg(img_proto.image).numpy()
             cv2.imwrite(
-                os.path.join(frame_dir, f"{cam_name}.jpg"),
+                os.path.join(img_dir_out, f"{cam_name}.jpg"),
                 cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
             )
 
@@ -73,7 +75,7 @@ def extract_segment(args):
             depth = np.zeros(img.shape[:2], np.float32)
             depth[ys, xs] = distances[mask]
             cv2.imwrite(
-                os.path.join(frame_dir, f"{cam_name}_depth.png"),
+                os.path.join(depth_dir_out, f"{cam_name}_depth.png"),
                 (depth * 255).astype(np.uint16),
             )
 
@@ -121,7 +123,8 @@ def main():
         all_infos = pool.map(extract_segment, [(s, out_dir) for s in segments])
 
     frames = [fr for seg in all_infos for fr in seg]
-    with open(os.path.join(out_dir, "infos.pkl"), "wb") as f:
+    os.makedirs(os.path.join(args.out_root, "infos"), exist_ok=True)
+    with open(os.path.join(args.out_root, "infos", f"{args.split}_infos.pkl"), "wb") as f:
         pickle.dump({"frames": frames}, f)
     print(f"extracted {len(frames)} frames from {len(segments)} segments → {out_dir}")
 
