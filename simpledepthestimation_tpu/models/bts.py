@@ -252,6 +252,23 @@ ENCODER_CHANNELS = {
 }
 
 
+def _build_encoder(name: str, dtype):
+    """Encoder zoo dispatch (reference BTSNet.py:278-333): resnet via
+    ResNetEncoder; resnext/densenet/mobilenet via models.encoders."""
+    if name in ENCODER_CHANNELS:
+        num_layers, channels = ENCODER_CHANNELS[name]
+        return ResNetEncoder(num_layers=num_layers, dtype=dtype, name="encoder"), channels
+    from .encoders import BTS_ENCODERS
+
+    if name in BTS_ENCODERS:
+        ctor, channels = BTS_ENCODERS[name]
+        return ctor(dtype, "encoder"), channels
+    raise NotImplementedError(
+        f"BTS encoder {name} not available "
+        f"(supported: {sorted(list(ENCODER_CHANNELS) + list(BTS_ENCODERS))})"
+    )
+
+
 @DEPTH_NET_REGISTRY.register()
 class BtsModel(nn.Module):
     encoder_name: str = "resnet50_bts"
@@ -280,12 +297,7 @@ class BtsModel(nn.Module):
     ) -> List[jnp.ndarray]:
         from .depth_nets import flip_images
 
-        if self.encoder_name not in ENCODER_CHANNELS:
-            raise NotImplementedError(
-                f"BTS encoder {self.encoder_name} not available "
-                f"(supported: {sorted(ENCODER_CHANNELS)})"
-            )
-        num_layers, feat_channels = ENCODER_CHANNELS[self.encoder_name]
+        encoder, feat_channels = _build_encoder(self.encoder_name, self.dtype)
 
         if flip is not None:
             image = flip_images(image, flip)
@@ -295,9 +307,7 @@ class BtsModel(nn.Module):
         else:
             focal = jnp.full((image.shape[0],), 715.0873, jnp.float32)
 
-        features = ResNetEncoder(
-            num_layers=num_layers, dtype=self.dtype, name="encoder"
-        )(image, train=train)
+        features = encoder(image, train=train)
         outputs = BtsDecoder(
             feat_channels=feat_channels,
             max_depth=self.max_depth,

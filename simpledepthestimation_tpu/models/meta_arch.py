@@ -106,17 +106,26 @@ class MonoDepth2Model(nn.Module):
             variance_focus=float(loss.get("VARIANCE_FOCUS", 0.85)),
         )
 
-    def _photometric(self, frame_A, sampled_B):
+    def _photometric(self, frame_A, sampled_B, n_groups: int = 1):
         """α·SSIM + (1−α)·L1 per-pixel map with optional mean+λσ clip
-        (reference MonoDepth2.py:130-151)."""
+        (reference MonoDepth2.py:130-151).
+
+        ``n_groups``: the leading batch dim stacks that many independent maps
+        (the batched per-scale evaluation); the clip statistics are computed
+        per group to match the reference's per-map clipping."""
         photo = jnp.mean(jnp.abs(sampled_B - frame_A), axis=-1, keepdims=True)
         if self.ssim_weight > 0.0:
             s = jnp.mean(L.ssim(sampled_B, frame_A, self.C1, self.C2), axis=-1, keepdims=True)
             photo = s * self.ssim_weight + photo * (1.0 - self.ssim_weight)
         if self.clip_loss > 0.0:
-            mean = jnp.mean(photo)
-            std = jnp.std(photo, ddof=1)
-            photo = jnp.minimum(photo, mean + self.clip_loss * std)
+            grouped = photo.reshape((n_groups, -1))
+            mean = jnp.mean(grouped, axis=1)
+            std = jnp.std(grouped, axis=1, ddof=1)
+            cap = (mean + self.clip_loss * std).reshape(
+                (n_groups,) + (1,) * (photo.ndim - 1)
+            )
+            cap = jnp.repeat(cap, photo.shape[0] // n_groups, axis=0)
+            photo = jnp.minimum(photo, cap)
         return photo
 
     @nn.compact
@@ -147,33 +156,49 @@ class MonoDepth2Model(nn.Module):
         var_total = 0.0
         photo_per_scale = []
 
+        # TPU-first batching: per scale, all N context warps run as ONE
+        # view_synthesis on an [N·B] batch, and all 2N photometric maps
+        # (warped + identity-reprojection) as ONE SSIM pass on [2N·B] —
+        # fewer, larger gathers/windows instead of the reference's python
+        # loop of small ops (MonoDepth2.py:87-101).
+        poses_cat = jnp.concatenate(poses, axis=0)  # [N·B, 4, 4]
+
         for i in range(num_scales):
             scale_w = 1.0 / 2 ** (num_scales - i - 1)
             h, w = depth_pred[i].shape[1:3]
             resized_image = resize_img(image, (h, w))
             resized_K = scale_intrinsics(intrinsics, w / W, h / H)
 
-            maps = []
-            for j in range(N):
-                resized_target = resize_img(contexts_orig[:, j], (h, w))
-                pose = poses[j]
-                sampled, _, _, _ = view_synthesis(
-                    resized_target,
-                    depth_pred[i],
-                    resized_K,
-                    pose[:, :3, :3],
-                    pose[:, :3, 3:4],
-                )
-                maps.append(self._photometric(resized_image, sampled))
-                if self.automask:
-                    # identity reprojection: score the unwarped context
-                    maps.append(self._photometric(resized_image, resized_target))
+            # [N·B, h, w, 3]: context j occupies rows j·B:(j+1)·B
+            resized_targets = resize_img(
+                contexts_orig.reshape(B * N, H, W, 3), (h, w)
+            ).reshape(N, B, h, w, 3).reshape(N * B, h, w, 3)
+
+            depth_rep = jnp.tile(depth_pred[i], (N, 1, 1, 1))
+            K_rep = jnp.tile(resized_K, (N, 1, 1))
+            sampled, _, _, _ = view_synthesis(
+                resized_targets,
+                depth_rep,
+                K_rep,
+                poses_cat[:, :3, :3],
+                poses_cat[:, :3, 3:4],
+            )
+
+            if self.automask:
+                candidates = jnp.concatenate([sampled, resized_targets], axis=0)
+                ref = jnp.tile(resized_image, (2 * N, 1, 1, 1))
+            else:
+                candidates = sampled
+                ref = jnp.tile(resized_image, (N, 1, 1, 1))
+
+            n_groups = candidates.shape[0] // B
+            photo = self._photometric(ref, candidates, n_groups=n_groups)  # [kN·B,h,w,1]
+            maps = photo.reshape(-1, B, h, w, 1)  # [kN, B, h, w, 1]
 
             if self.photometric_reduce == "min":
-                stacked = jnp.concatenate(maps, axis=-1)  # [B,h,w,2N]
-                photo_per_scale.append(jnp.mean(jnp.min(stacked, axis=-1)))
+                photo_per_scale.append(jnp.mean(jnp.min(maps, axis=0)))
             elif self.photometric_reduce == "mean":
-                photo_per_scale.append(sum(jnp.mean(m) for m in maps) / len(maps))
+                photo_per_scale.append(jnp.mean(maps))
             else:
                 raise NotImplementedError(self.photometric_reduce)
 
