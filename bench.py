@@ -66,12 +66,21 @@ def main():
         state, metrics = train_step(state, batch, jax.random.fold_in(key, i))
     jax.block_until_ready(metrics["total_loss"])
 
-    n_steps = 20 if on_tpu else 5
+    # Sync every few steps: on the tunneled axon backend, a single
+    # end-of-loop block_until_ready under-reports wildly (async artifact);
+    # per-chunk device_get keeps the measurement honest while amortizing the
+    # tunnel round trip.
+    n_chunks, chunk = (5, 5) if on_tpu else (1, 5)
     start = time.perf_counter()
-    for i in range(n_steps):
-        state, metrics = train_step(state, batch, jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(metrics["total_loss"])
+    for c in range(n_chunks):
+        for i in range(chunk):
+            state, metrics = train_step(
+                state, batch, jax.random.fold_in(key, 100 + c * chunk + i)
+            )
+        total = float(jax.device_get(metrics["total_loss"]))
+        assert np.isfinite(total), f"non-finite loss in bench: {total}"
     elapsed = time.perf_counter() - start
+    n_steps = n_chunks * chunk
 
     images_per_sec = n_steps * B / elapsed
     per_chip = images_per_sec / n_dev

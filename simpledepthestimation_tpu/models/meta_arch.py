@@ -169,10 +169,12 @@ class MonoDepth2Model(nn.Module):
             resized_image = resize_img(image, (h, w))
             resized_K = scale_intrinsics(intrinsics, w / W, h / H)
 
-            # [N·B, h, w, 3]: context j occupies rows j·B:(j+1)·B
+            # [N·B, h, w, 3]: context j occupies rows j·B:(j+1)·B (n-major,
+            # matching poses_cat)
             resized_targets = resize_img(
-                contexts_orig.reshape(B * N, H, W, 3), (h, w)
-            ).reshape(N, B, h, w, 3).reshape(N * B, h, w, 3)
+                contexts_orig.transpose(1, 0, 2, 3, 4).reshape(N * B, H, W, 3),
+                (h, w),
+            )
 
             depth_rep = jnp.tile(depth_pred[i], (N, 1, 1, 1))
             K_rep = jnp.tile(resized_K, (N, 1, 1))
