@@ -150,6 +150,7 @@ def do_train(
         mesh,
         donate=bool(cfg.TPU.DONATE),
         grad_clip=float(cfg.SOLVER.get("GRAD_CLIP", 0.0)),
+        remat=bool(cfg.TPU.get("REMAT", False)),
     )
 
     checkpointer = Checkpointer(cfg.OUTPUT_DIR)

@@ -275,6 +275,7 @@ class BtsModel(nn.Module):
     max_depth: float = 80.0
     bts_size: int = 512
     dataset: str = "kitti"
+    bn_no_track: bool = False
     dtype: Any = jnp.float32
 
     @classmethod
@@ -284,6 +285,7 @@ class BtsModel(nn.Module):
             max_depth=float(cfg.MODEL.MAX_DEPTH),
             bts_size=int(cfg.MODEL.DEPTH_NET.get("BTS_SIZE", 512)),
             dataset=str(cfg.MODEL.get("DATASET", "kitti")),
+            bn_no_track=bool(cfg.MODEL.DEPTH_NET.get("BN_NO_TRACK", False)),
             dtype=compute_dtype(cfg),
         )
 
@@ -307,7 +309,10 @@ class BtsModel(nn.Module):
         else:
             focal = jnp.full((image.shape[0],), 715.0873, jnp.float32)
 
-        features = encoder(image, train=train)
+        # BN_NO_TRACK (reference BTSNet.py:374-386, bn_init_as_tf): freeze
+        # batch-norm statistics — always use the stored running stats
+        bn_train = train and not self.bn_no_track
+        features = encoder(image, train=bn_train)
         outputs = BtsDecoder(
             feat_channels=feat_channels,
             max_depth=self.max_depth,
@@ -315,7 +320,7 @@ class BtsModel(nn.Module):
             dataset=self.dataset,
             dtype=self.dtype,
             name="decoder",
-        )(features, focal, train=train)
+        )(features, focal, train=bn_train)
 
         final_depth = outputs[4]
         if flip is not None:

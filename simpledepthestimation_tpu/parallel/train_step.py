@@ -52,6 +52,7 @@ def make_train_step(
     mesh,
     donate: bool = True,
     grad_clip: float = 0.0,
+    remat: bool = False,
     extra_scalar_keys: Tuple[str, ...] = (),
 ):
     """Build the jitted SPMD train step.
@@ -66,21 +67,29 @@ def make_train_step(
     traced inputs instead of module mutation).
     """
 
-    def loss_fn(params, batch_stats, batch, step_rng):
+    def apply_model(params, batch_stats, batch, step_rng):
         variables = {"params": params}
         mutable = []
         if batch_stats:
             variables["batch_stats"] = batch_stats
             mutable = ["batch_stats"]
-        outputs, new_vars = model.apply(
+        return model.apply(
             variables,
             batch,
             train=True,
             mutable=mutable,
             rngs={"noise": step_rng},
         )
+
+    if remat:
+        # trade FLOPs for HBM: recompute the forward during backprop
+        # (cfg TPU.REMAT; the jax.checkpoint analog of activation checkpointing)
+        apply_model = jax.checkpoint(apply_model, static_argnums=())
+
+    def loss_fn(params, batch_stats, batch, step_rng):
+        outputs, new_vars = apply_model(params, batch_stats, batch, step_rng)
         total = jnp.sum(jnp.stack([v for v in outputs.values()]))
-        new_stats = new_vars.get("batch_stats", batch_stats) if mutable else batch_stats
+        new_stats = new_vars.get("batch_stats", batch_stats) if batch_stats else batch_stats
         return total, (outputs, new_stats)
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], step_rng) -> Tuple[TrainState, Dict]:

@@ -82,6 +82,38 @@ def _adam(lr_schedule, eps: float) -> optax.GradientTransformation:
     return optax.adam(lr_schedule, eps=eps)
 
 
+def freeze_substrings_from_cfg(cfg) -> Sequence[str]:
+    """Parameter paths to freeze (zero updates), from the BTS options
+    FIX_1ST_CONV / FIX_1ST_CONVS (reference BTSNet.py:388-413: the first conv
+    block(s) + all encoder BN affine params stay at their pretrained values).
+    """
+    dn = cfg.MODEL.get("DEPTH_NET", {})
+    frozen = []
+    if dn.get("FIX_1ST_CONVS", False):
+        frozen += ["encoder/conv1", "encoder/bn1", "encoder/layer1_0", "encoder/layer1_1"]
+    elif dn.get("FIX_1ST_CONV", False):
+        frozen += ["encoder/conv1", "encoder/bn1", "encoder/layer1_0"]
+    return frozen
+
+
+def apply_freeze(tx: optax.GradientTransformation, frozen: Sequence[str]) -> optax.GradientTransformation:
+    """Wrap tx so params whose path contains a frozen substring get zero updates."""
+    if not frozen:
+        return tx
+
+    def label_tree(params):
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+        def label(path):
+            path_str = "/".join(str(getattr(k, "key", k)) for k in path)
+            return "frozen" if any(f in path_str for f in frozen) else "train"
+
+        labels = [label(p) for p, _ in flat]
+        return jax.tree_util.tree_unflatten(jax.tree_util.tree_structure(params), labels)
+
+    return optax.multi_transform({"train": tx, "frozen": optax.set_to_zero()}, label_tree)
+
+
 def build_optimizer(cfg, steps_per_epoch: int) -> Tuple[optax.GradientTransformation, optax.Schedule]:
     """Build the optimizer for cfg.SOLVER. Returns (tx, lr_schedule_for_logging).
 
@@ -89,6 +121,7 @@ def build_optimizer(cfg, steps_per_epoch: int) -> Tuple[optax.GradientTransforma
       'adamw_poly'      — Supervised: AdamW, encoder wd / no-decoder-wd groups, poly LR
       'adam_multistep'  — MonoDepth2/MotionLearning: Adam, depth/pose LR groups,
                           MultiStepLR over epochs
+    Frozen-parameter masks (BTS FIX_1ST_CONV options) wrap the result.
     """
     solver = cfg.SOLVER
     max_steps = int(solver.MAX_EPOCHS) * steps_per_epoch
@@ -109,7 +142,7 @@ def build_optimizer(cfg, steps_per_epoch: int) -> Tuple[optax.GradientTransforma
             },
             label_fn,
         )
-        return tx, sched
+        return apply_freeze(tx, freeze_substrings_from_cfg(cfg)), sched
 
     if opt_name == "adam_multistep":
         depth_lr = float(solver.DEPTH_LR)
@@ -128,6 +161,6 @@ def build_optimizer(cfg, steps_per_epoch: int) -> Tuple[optax.GradientTransforma
             {"depth": _adam(depth_sched, eps), "pose": _adam(pose_sched, eps)},
             label_fn,
         )
-        return tx, depth_sched
+        return apply_freeze(tx, freeze_substrings_from_cfg(cfg)), depth_sched
 
     raise ValueError(f"Unknown SOLVER.OPT {opt_name!r}")
