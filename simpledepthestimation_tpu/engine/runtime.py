@@ -106,7 +106,9 @@ def do_test(cfg: CfgNode, state=None, mesh=None, model=None) -> Dict:
         from ..solver import build_optimizer as _bo
 
         optimizer, _ = _bo(cfg, steps_per_epoch=1)
-        state = create_train_state(model, optimizer, sample, jax.random.PRNGKey(0))
+        state = create_train_state(
+            model, optimizer, sample, jax.random.PRNGKey(0), train=False
+        )
         ckpt = Checkpointer(cfg.OUTPUT_DIR)
         state, _ = ckpt.resume_or_load(cfg.MODEL.WEIGHTS, state, resume=True)
         state = place_replicated(state, mesh)

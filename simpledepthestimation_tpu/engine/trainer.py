@@ -197,7 +197,7 @@ class DefaultPredictor:
         if self.state is None:
             optimizer, _ = build_optimizer(self.cfg, steps_per_epoch=1)
             state = create_train_state(
-                self.model, optimizer, batch, jax.random.PRNGKey(0)
+                self.model, optimizer, batch, jax.random.PRNGKey(0), train=False
             )
             ckpt = Checkpointer(self.cfg.MODEL.WEIGHTS or self.cfg.OUTPUT_DIR)
             state, _ = ckpt.resume_or_load("", state, resume=True)

@@ -31,10 +31,14 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
-def create_train_state(model, optimizer, sample_batch, rng) -> TrainState:
-    """Initialize parameters/batch-stats from a sample batch."""
+def create_train_state(model, optimizer, sample_batch, rng, train: bool = True) -> TrainState:
+    """Initialize parameters/batch-stats from a sample batch.
+
+    ``train=False`` initializes through the inference path (eval-only /
+    predictor entries, whose sample batches lack training-only keys like
+    depth/ctx_img)."""
     variables = model.init(
-        {"params": rng, "noise": jax.random.fold_in(rng, 1)}, sample_batch, train=True
+        {"params": rng, "noise": jax.random.fold_in(rng, 1)}, sample_batch, train=train
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())

@@ -83,7 +83,7 @@ def main():
 
         if state is None:
             optimizer, _ = build_optimizer(cfg, steps_per_epoch=1)
-            state = create_train_state(model, optimizer, batch, jax.random.PRNGKey(0))
+            state = create_train_state(model, optimizer, batch, jax.random.PRNGKey(0), train=False)
             ckpt = Checkpointer(cfg.MODEL.WEIGHTS or cfg.OUTPUT_DIR)
             state, _ = ckpt.resume_or_load("", state, resume=True)
             state = place_replicated(state, mesh)

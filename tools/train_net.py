@@ -44,7 +44,7 @@ def main():
         loader = build_test_loader(cfg)
         sample = {k: v for k, v in next(iter(loader)).items() if hasattr(v, "shape")}
         optimizer, _ = build_optimizer(cfg, steps_per_epoch=1)
-        state = create_train_state(model, optimizer, sample, jax.random.PRNGKey(0))
+        state = create_train_state(model, optimizer, sample, jax.random.PRNGKey(0), train=False)
         ckpt = Checkpointer(cfg.MODEL.WEIGHTS or cfg.OUTPUT_DIR)
         state, _ = ckpt.resume_or_load("", state, resume=True)
         state = place_replicated(state, mesh)
