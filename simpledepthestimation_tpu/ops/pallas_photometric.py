@@ -36,18 +36,20 @@ def photometric_map_reference(a: jnp.ndarray, b: jnp.ndarray, alpha: float,
 
 
 def _kernel(a_ref, b_ref, out_ref, *, alpha: float, C1: float, C2: float):
-    a = a_ref[0].astype(jnp.float32)  # block [1,H,W,C] → [H,W,C]
-    b = b_ref[0].astype(jnp.float32)
-    H, W, C = a.shape
+    """Single-channel photometric contribution on a [1, H, W, 1] block.
+
+    Per-(batch, channel) grid keeps VMEM residency at ~8 single-channel
+    [H, W] f32 buffers (≈4 MB at 192×640) — the full-RGB variant overflowed
+    the ~16 MB VMEM at the benchmark shape. Operands arrive [B, C, H, W]
+    (Mosaic requires the trailing block dims to span the array dims)."""
+    a = a_ref[0, 0].astype(jnp.float32)  # [H, W]
+    b = b_ref[0, 0].astype(jnp.float32)
+    H, W = a.shape
 
     def reflect_pad(x):
         # reflect by 1 on H and W using slices (no jnp.pad reflect in mosaic)
-        top = x[1:2]
-        bot = x[H - 2 : H - 1]
-        x = jnp.concatenate([top, x, bot], axis=0)
-        left = x[:, 1:2]
-        right = x[:, W - 2 : W - 1]
-        return jnp.concatenate([left, x, right], axis=1)
+        x = jnp.concatenate([x[1:2], x, x[H - 2 : H - 1]], axis=0)
+        return jnp.concatenate([x[:, 1:2], x, x[:, W - 2 : W - 1]], axis=1)
 
     def pool9(x):
         xp = reflect_pad(x)
@@ -68,9 +70,7 @@ def _kernel(a_ref, b_ref, out_ref, *, alpha: float, C1: float, C2: float):
     d = (mu_a * mu_a + mu_b * mu_b + C1) * (sig_a + sig_b + C2)
     ssim_dist = jnp.clip((1.0 - n / d) * 0.5, 0.0, 1.0)
 
-    l1 = jnp.abs(a - b)
-    photo = alpha * ssim_dist + (1.0 - alpha) * l1
-    out_ref[0] = jnp.mean(photo, axis=-1, keepdims=True)
+    out_ref[0, 0] = alpha * ssim_dist + (1.0 - alpha) * jnp.abs(a - b)
 
 
 def _pallas_forward(a, b, alpha: float, C1: float, C2: float, interpret: bool = False):
@@ -78,27 +78,37 @@ def _pallas_forward(a, b, alpha: float, C1: float, C2: float, interpret: bool = 
     from jax.experimental.pallas import tpu as pltpu
 
     B, H, W, C = a.shape
+    a_cf = a.transpose(0, 3, 1, 2)  # [B, C, H, W]
+    b_cf = b.transpose(0, 3, 1, 2)
     kernel = functools.partial(_kernel, alpha=alpha, C1=C1, C2=C2)
-    return pl.pallas_call(
+    per_channel = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B, C),
         in_specs=[
-            pl.BlockSpec((1, H, W, C), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W, C), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H, W), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H, W), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, H, W, 1), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, H, W), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, C, H, W), jnp.float32),
         interpret=interpret,
-    )(a, b)
+    )(a_cf, b_cf)
+    return jnp.mean(per_channel, axis=1)[..., None]  # [B, H, W, 1]
+
+
+# largest per-channel plane that fits the Mosaic VMEM budget with all SSIM
+# intermediates live (192×640 is marginal and crashes the v5e AOT compiler;
+# 96×640 / 192×320 compile and run)
+_MAX_PIXELS_FUSED = 96 * 640
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def photometric_map_fused(a, b, alpha: float = 0.85, C1: float = 1e-4, C2: float = 9e-4):
     """Fused photometric map [B,H,W,1]; falls back to the jnp composition on
-    non-TPU backends."""
-    if jax.default_backend() != "tpu":
+    non-TPU backends and above the VMEM shape budget."""
+    H, W = a.shape[1:3]
+    if jax.default_backend() != "tpu" or H * W > _MAX_PIXELS_FUSED:
         return photometric_map_reference(a, b, alpha, C1, C2)
     return _pallas_forward(a, b, alpha, C1, C2)
 
