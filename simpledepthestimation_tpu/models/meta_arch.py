@@ -85,6 +85,7 @@ class MonoDepth2Model(nn.Module):
     sup_loss_w: float = 0.0
     var_loss_w: float = 0.0
     variance_focus: float = 0.85
+    pallas_photometric: bool = True
 
     @classmethod
     def from_cfg(cls, cfg):
@@ -92,6 +93,7 @@ class MonoDepth2Model(nn.Module):
         return cls(
             depth_net=build_depth_net(cfg),
             pose_net=build_pose_net(cfg),
+            pallas_photometric=bool(cfg.TPU.get("PALLAS_PHOTOMETRIC", True)),
             pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
             pixel_std=tuple(cfg.MODEL.PIXEL_STD),
             ssim_weight=float(loss.get("SSIM_WEIGHT", 0.85)),
@@ -113,10 +115,20 @@ class MonoDepth2Model(nn.Module):
         ``n_groups``: the leading batch dim stacks that many independent maps
         (the batched per-scale evaluation); the clip statistics are computed
         per group to match the reference's per-map clipping."""
-        photo = jnp.mean(jnp.abs(sampled_B - frame_A), axis=-1, keepdims=True)
-        if self.ssim_weight > 0.0:
+        if self.ssim_weight > 0.0 and self.pallas_photometric:
+            # fused VMEM kernel (falls back to the jnp composition off-TPU
+            # or above the kernel's shape budget — identical math)
+            from ..ops.pallas_photometric import photometric_map_fused
+
+            photo = photometric_map_fused(
+                sampled_B, frame_A, self.ssim_weight, self.C1, self.C2
+            )
+        elif self.ssim_weight > 0.0:
+            photo = jnp.mean(jnp.abs(sampled_B - frame_A), axis=-1, keepdims=True)
             s = jnp.mean(L.ssim(sampled_B, frame_A, self.C1, self.C2), axis=-1, keepdims=True)
             photo = s * self.ssim_weight + photo * (1.0 - self.ssim_weight)
+        else:
+            photo = jnp.mean(jnp.abs(sampled_B - frame_A), axis=-1, keepdims=True)
         if self.clip_loss > 0.0:
             grouped = photo.reshape((n_groups, -1))
             mean = jnp.mean(grouped, axis=1)
