@@ -123,6 +123,41 @@ def do_test(cfg: CfgNode, state=None, mesh=None, model=None) -> Dict:
     return inference_on_dataset(eval_fn, loader, evaluators)
 
 
+def maybe_load_pretrained_encoder(cfg, state):
+    """Inject ImageNet weights into the depth-net encoder when the config
+    requests a pretrained encoder (``pt`` suffix in ENCODER_NAME — reference
+    DepthResNet.py:34-37 / resnet_encoder.py:82-86).
+
+    Weight file resolution: ``MODEL.DEPTH_NET.PRETRAINED_WEIGHTS`` or
+    ``$SDE_TPU_PRETRAINED_DIR/resnet{N}.pth``. Missing weights warn and
+    continue from random init (this environment has no model-zoo egress).
+    """
+    dn = cfg.MODEL.get("DEPTH_NET", {})
+    version = str(dn.get("ENCODER_NAME", ""))
+    if not version.endswith("pt") or not version[:2].isdigit():
+        return state
+
+    from ..models.pretrained import find_pretrained_file, load_pretrained_encoder
+
+    num_layers = int(version[:2])
+    weights_file = find_pretrained_file(
+        num_layers, str(dn.get("PRETRAINED_WEIGHTS", ""))
+    )
+    variables = {"params": dict(state.params), "batch_stats": dict(state.batch_stats)}
+    try:
+        variables = load_pretrained_encoder(
+            variables, ("depth_net", "encoder"), num_layers, weights_file
+        )
+    except (KeyError, AssertionError) as e:
+        # encoder layout doesn't match the torchvision tree (e.g. GoogleResNet
+        # with randLN) — warm start skipped, training proceeds from random init
+        logger.warning(f"Pretrained encoder injection skipped (layout mismatch): {e}")
+        return state
+    return state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
+
+
 def do_train(
     cfg: CfgNode,
     resume: bool = False,
@@ -145,6 +180,8 @@ def do_train(
     state = create_train_state(model, optimizer, sample, rng)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     logger.info(f"Model has {n_params / 1e6:.2f}M parameters")
+
+    state = maybe_load_pretrained_encoder(cfg, state)
 
     train_step = make_train_step(
         model,
