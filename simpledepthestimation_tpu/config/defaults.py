@@ -61,6 +61,9 @@ _C.SOLVER.GRAD_CLIP = 0.0
 
 _C.TEST = CN()
 _C.TEST.EVAL_PERIOD = 1
+# Eval batch size. 1 = the reference's timing protocol (data/build.py:130);
+# raising it speeds periodic eval when test images share one shape.
+_C.TEST.IMS_PER_BATCH = 1
 _C.TEST.GT_SCALE = False
 _C.TEST.MIN_DEPTH = 0.001
 _C.TEST.MAX_DEPTH = 80.0

@@ -139,7 +139,7 @@ def build_test_loader(cfg) -> Optional[PrefetchLoader]:
     return PrefetchLoader(
         dataset,
         sampler,
-        batch_size=1,
+        batch_size=int(cfg.TEST.get("IMS_PER_BATCH", 1)),
         drop_last=False,
         num_workers=int(cfg.DATALOADER.NUM_WORKERS),
         prefetch=int(cfg.DATALOADER.get("PREFETCH", 2)),
