@@ -134,14 +134,27 @@ def maybe_load_pretrained_encoder(cfg, state):
     """
     dn = cfg.MODEL.get("DEPTH_NET", {})
     version = str(dn.get("ENCODER_NAME", ""))
-    if not version.endswith("pt") or not version[:2].isdigit():
+
+    from ..models.pretrained import (
+        BTS_CONVERTIBLE,
+        find_pretrained_file,
+        load_pretrained_encoder,
+    )
+
+    if version.endswith("pt") and version[:2].isdigit():
+        num_layers = int(version[:2])
+        filename = f"resnet{num_layers}"
+    elif version in BTS_CONVERTIBLE:
+        filename, num_layers = BTS_CONVERTIBLE[version]
+    else:
+        if version.endswith("_bts"):
+            logger.warning(
+                f"No pretrained conversion for BTS encoder {version}; random init"
+            )
         return state
 
-    from ..models.pretrained import find_pretrained_file, load_pretrained_encoder
-
-    num_layers = int(version[:2])
     weights_file = find_pretrained_file(
-        num_layers, str(dn.get("PRETRAINED_WEIGHTS", ""))
+        num_layers, str(dn.get("PRETRAINED_WEIGHTS", "")), filename=filename
     )
     variables = {"params": dict(state.params), "batch_stats": dict(state.batch_stats)}
     try:

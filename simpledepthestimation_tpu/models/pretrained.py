@@ -104,15 +104,32 @@ def convert_torch_resnet(state_dict: Dict[str, "np.ndarray"], num_layers: int):
     return params, stats
 
 
-def find_pretrained_file(num_layers: int, explicit: str = "") -> Optional[str]:
+def find_pretrained_file(num_layers: int, explicit: str = "", filename: str = "") -> Optional[str]:
+    """Resolve the weight file: explicit path wins; else
+    $SDE_TPU_PRETRAINED_DIR/{filename or resnet{num_layers}}.pth."""
     if explicit and os.path.isfile(explicit):
         return explicit
     base = os.environ.get("SDE_TPU_PRETRAINED_DIR", "")
     if base:
-        cand = os.path.join(base, f"resnet{num_layers}.pth")
+        name = filename or f"resnet{num_layers}"
+        cand = os.path.join(base, f"{name}.pth")
         if os.path.isfile(cand):
             return cand
     return None
+
+
+# BTS encoder names → (torchvision weight-file stem, layer count for the
+# shared resnet/resnext converter). torchvision ResNeXt state_dicts use the
+# exact ResNet bottleneck key layout (only kernel shapes differ — the same
+# OIHW→HWIO transpose applies to grouped convs), so convert_torch_resnet
+# covers them. DenseNet/MobileNet conversion is not implemented (random init
+# + warning).
+BTS_CONVERTIBLE = {
+    "resnet50_bts": ("resnet50", 50),
+    "resnet101_bts": ("resnet101", 101),
+    "resnext50_bts": ("resnext50_32x4d", 50),
+    "resnext101_bts": ("resnext101_32x8d", 101),
+}
 
 
 def load_pretrained_encoder(
