@@ -11,6 +11,7 @@ from simpledepthestimation_tpu.ops.pallas_photometric import (
     photometric_map_reference,
     photometric_map_fused,
     _pallas_forward,
+    _pallas_forward_tiled,
 )
 
 
@@ -37,3 +38,26 @@ def test_fused_gradients_match_reference(rng):
     gr = jax.grad(loss_ref, argnums=(0, 1))(a, b)
     for x, y in zip(ga, gr):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
+def test_tiled_kernel_matches_oracle_interpret(rng):
+    """H-tiled halo-DMA variant vs the oracle (interpret mode), covering the
+    first/interior/last tile boundary handling."""
+    from jax.experimental import pallas as pl  # noqa: F401
+
+    a = jnp.asarray(rng.rand(2, 128, 128, 3).astype(np.float32))
+    b = jnp.asarray(rng.rand(2, 128, 128, 3).astype(np.float32))
+    ref = np.asarray(photometric_map_reference(a, b, 0.85, 1e-4, 9e-4))
+    import functools
+    import simpledepthestimation_tpu.ops.pallas_photometric as pp
+
+    # run the tiled path in interpret mode by monkey-wrapping pallas_call
+    import jax.experimental.pallas as _pl
+
+    orig = _pl.pallas_call
+    try:
+        _pl.pallas_call = functools.partial(orig, interpret=True)
+        got = np.asarray(pp._pallas_forward_tiled(a, b, 0.85, 1e-4, 9e-4, tile_h=32))
+    finally:
+        _pl.pallas_call = orig
+    np.testing.assert_allclose(got, ref, atol=1e-5)
