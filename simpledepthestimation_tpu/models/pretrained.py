@@ -104,6 +104,35 @@ def convert_torch_resnet(state_dict: Dict[str, "np.ndarray"], num_layers: int):
     return params, stats
 
 
+def convert_torch_resnet_convs_only(state_dict, num_layers: int):
+    """Conv-kernel-only conversion for encoders with non-BN norms
+    (GoogleResNet with RandLayerNorm — the reference loads torchvision
+    weights with strict=False, GoogleResNet.py:38-53: conv weights land,
+    norm params keep their init). Returns a params tree matching
+    ``models.google_resnet.NormResNetEncoder`` naming."""
+
+    def arr(key):
+        v = state_dict[key]
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    from .resnet import BLOCKS, BOTTLENECK
+
+    params: Dict = {"conv1": {"kernel": _t2f(arr("conv1.weight"))}}
+    n_convs = 3 if BOTTLENECK[num_layers] else 2
+    for layer_idx, n_blocks in enumerate(BLOCKS[num_layers], start=1):
+        for b in range(n_blocks):
+            tprefix = f"layer{layer_idx}.{b}"
+            block: Dict = {}
+            for c in range(1, n_convs + 1):
+                block[f"conv{c}"] = {"kernel": _t2f(arr(f"{tprefix}.conv{c}.weight"))}
+            if f"{tprefix}.downsample.0.weight" in state_dict:
+                block["down_conv"] = {
+                    "kernel": _t2f(arr(f"{tprefix}.downsample.0.weight"))
+                }
+            params[f"layer{layer_idx}_{b}"] = block
+    return params
+
+
 def find_pretrained_file(num_layers: int, explicit: str = "", filename: str = "") -> Optional[str]:
     """Resolve the weight file: explicit path wins; else
     $SDE_TPU_PRETRAINED_DIR/{filename or resnet{num_layers}}.pth."""
@@ -152,7 +181,17 @@ def load_pretrained_encoder(
     import torch
 
     state_dict = torch.load(weights_file, map_location="cpu", weights_only=True)
-    enc_params, enc_stats = convert_torch_resnet(state_dict, num_layers)
+
+    # detect the encoder flavor from the initialized tree: BN encoders carry
+    # 'bn1'; norm-agnostic (GoogleResNet) encoders use 'n1' → conv-only load
+    enc_node = variables["params"]
+    for p in encoder_path:
+        enc_node = enc_node[p]
+    if "bn1" not in enc_node and "conv1" in enc_node:
+        enc_params = convert_torch_resnet_convs_only(state_dict, num_layers)
+        enc_stats = {}
+    else:
+        enc_params, enc_stats = convert_torch_resnet(state_dict, num_layers)
 
     from flax.core import unfreeze, freeze
 
@@ -175,7 +214,7 @@ def load_pretrained_encoder(
                 dst[k] = v.astype(np.asarray(dst[k]).dtype)
 
     deep_set(variables["params"], encoder_path, enc_params)
-    if "batch_stats" in variables:
+    if enc_stats and "batch_stats" in variables:
         deep_set(variables["batch_stats"], encoder_path, enc_stats)
 
     logger.info(f"Loaded ImageNet weights from {weights_file}")
