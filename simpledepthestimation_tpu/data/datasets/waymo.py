@@ -31,6 +31,7 @@ class WaymoDepth(DatasetBase):
         super().__init__(dataset_cfg, cfg)
         self.data_root = dataset_cfg.DATA_ROOT
         self.depth_root = dataset_cfg.get("DEPTH_ROOT", "")
+        self.mask_root = dataset_cfg.get("MASK_ROOT", "")
         self.infos_path = dataset_cfg.SPLIT
         self.use_cams = list(dataset_cfg.get("USE_CAMS", ["FRONT"]))
         self.downsample = int(dataset_cfg.get("DOWNSAMPLE", 1))
@@ -76,6 +77,11 @@ class WaymoDepth(DatasetBase):
             return ""
         return os.path.join(self.depth_root, frame_info["rel_dir"], f"{cam}_depth.png")
 
+    def _mask_path(self, frame_info, cam) -> str:
+        if not self.mask_root:
+            return ""
+        return os.path.join(self.mask_root, frame_info["rel_dir"], f"{cam}_mask.png")
+
     def get_sample(self, idx: int, rng: Optional[np.random.Generator] = None):
         sample = self.samples[idx]
         frame_info = self._frames[sample["frame"]]
@@ -93,6 +99,10 @@ class WaymoDepth(DatasetBase):
                 ],
                 "ctx_depth_dir": [
                     self._depth_path(self._frames[j], cam) for j in sample["ctx_frames"]
+                ],
+                "mask_dir": self._mask_path(frame_info, cam),
+                "ctx_mask_dir": [
+                    self._mask_path(self._frames[j], cam) for j in sample["ctx_frames"]
                 ],
             },
             "intrinsics": np.asarray(

@@ -115,6 +115,13 @@ class DefaultTrainer(SimpleTrainer):
                     int(cfg.TEST.EVAL_PERIOD), self.steps_per_epoch, self._eval
                 )
             )
+        profile_iters = set(int(i) for i in cfg.TPU.get("PROFILE_ITERS", ()))
+        if profile_iters:
+            ret.append(
+                hooks_lib.JaxProfiler(
+                    lambda trainer: trainer.iter in profile_iters, cfg.OUTPUT_DIR
+                )
+            )
         if comm.is_main_process():
             ret.append(
                 hooks_lib.PeriodicWriter(

@@ -1,0 +1,37 @@
+"""Every shipped project yaml must parse, merge over defaults, and build its
+model graph (catches config/schema drift across the zoo)."""
+
+import glob
+import os
+
+import pytest
+
+from simpledepthestimation_tpu.config import get_cfg
+from simpledepthestimation_tpu.models import build_model
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+CONFIGS = sorted(
+    p
+    for p in glob.glob(os.path.join(REPO, "projects", "*", "configs", "*.yaml"))
+    if not os.path.basename(p).startswith("Base")
+)
+
+
+@pytest.mark.parametrize("path", CONFIGS, ids=lambda p: "/".join(p.split("/")[-3:]))
+def test_config_builds_model(path):
+    cfg = get_cfg()
+    cfg.merge_from_file(path)
+    cfg.freeze()
+    assert cfg.MODEL.META_ARCHITECTURE
+    model = build_model(cfg)
+    assert model is not None
+    # every non-synthetic config names the reference evaluator suite
+    if "synthetic" not in path:
+        assert "kitti_evaluator" in cfg.EVALUATORS
+
+
+def test_all_configs_found():
+    # guards against the glob silently matching nothing
+    names = {os.path.basename(p) for p in CONFIGS}
+    assert {"resnet18.yaml", "bts_r50.yaml", "packnet_1a.yaml", "synthetic_quick.yaml"} <= names
+    assert len(CONFIGS) >= 9
