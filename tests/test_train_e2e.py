@@ -44,6 +44,7 @@ def _base_cfg(tmp_path, meta_arch):
     cfg.OUTPUT_DIR = str(tmp_path / "out")
     cfg.SEED = 0
     cfg.LOG_PERIOD = 1
+    cfg.VIS_PERIOD = 2  # exercise the depth-panel logging path
     return cfg
 
 
