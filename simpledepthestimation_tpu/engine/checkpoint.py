@@ -15,7 +15,6 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from ..parallel.train_step import TrainState

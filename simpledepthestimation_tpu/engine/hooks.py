@@ -15,13 +15,10 @@ from __future__ import annotations
 import datetime
 import logging
 import os
-import tempfile
 import time
-from collections import Counter
-from typing import Callable, Optional
+from typing import Callable
 
 from .train_loop import HookBase
-from ..utils.events import get_event_storage
 from ..utils import comm
 
 logger = logging.getLogger(__name__)

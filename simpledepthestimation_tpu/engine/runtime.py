@@ -20,7 +20,6 @@ from typing import Callable, Dict, Optional
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from ..config import CfgNode
 from ..data import build_train_loader, build_test_loader

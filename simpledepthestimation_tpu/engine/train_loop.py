@@ -23,7 +23,6 @@ import jax
 import numpy as np
 
 from ..utils.events import EventStorage, get_event_storage
-from ..utils import comm
 
 logger = logging.getLogger(__name__)
 

@@ -16,8 +16,7 @@ path used by tools/train_net.py.
 from __future__ import annotations
 
 import logging
-import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -18,11 +18,8 @@ also the test oracle and the non-TPU fallback.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def photometric_map_reference(a: jnp.ndarray, b: jnp.ndarray, alpha: float,

@@ -8,7 +8,6 @@ linearization, and 3×3 windows don't need one).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
