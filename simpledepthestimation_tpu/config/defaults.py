@@ -67,6 +67,11 @@ _C.TEST.IMS_PER_BATCH = 1
 _C.TEST.GT_SCALE = False
 _C.TEST.MIN_DEPTH = 0.001
 _C.TEST.MAX_DEPTH = 80.0
+# True-average BN statistics recompute before each eval (reference
+# detectron2/engine/hooks.py:381-450); DefaultTrainer path only.
+_C.TEST.PRECISE_BN = CN()
+_C.TEST.PRECISE_BN.ENABLED = False
+_C.TEST.PRECISE_BN.NUM_ITER = 200
 
 _C.EVALUATORS = ("",)
 

@@ -142,6 +142,53 @@ class PeriodicCheckpointerHook(HookBase):
             self._pc.step(epoch, self.trainer.state)
 
 
+class PreciseBN(HookBase):
+    """Recompute true-average BatchNorm statistics over ``num_iter`` train
+    batches on the same schedule as eval, so evaluation runs on exact
+    (non-EMA) statistics (reference detectron2/engine/hooks.py:381-450).
+
+    Registered before EvalHook so the refreshed stats land in the same-step
+    evaluation. The stats swap happens functionally: the recomputed tree
+    replaces ``trainer.state.batch_stats``.
+    """
+
+    def __init__(self, period_epochs: int, steps_per_epoch: int, loader, num_iter: int):
+        self._period = period_epochs
+        self._steps_per_epoch = max(steps_per_epoch, 1)
+        self._loader = loader
+        self._num_iter = num_iter
+        self._disabled = False
+
+    def _update_stats(self):
+        if self._disabled:
+            return
+        from ..parallel import compute_precise_bn_stats
+
+        state = self.trainer.state
+        if not state.batch_stats:
+            logger.info("PreciseBN: model has no batch_stats; hook disabled")
+            self._disabled = True
+            return
+        batches = []
+        for batch in self._loader:
+            batches.append(batch)
+            if len(batches) >= self._num_iter:
+                break
+        logger.info(
+            f"PreciseBN: recomputing statistics over {len(batches)} batches"
+        )
+        new_stats = compute_precise_bn_stats(self.trainer.model, state, batches)
+        self.trainer.state = state.replace(batch_stats=new_stats)
+
+    def after_step(self):
+        if self._period <= 0:
+            return
+        it = self.trainer.iter + 1
+        is_final = it == self.trainer.max_iter
+        if is_final or it % (self._period * self._steps_per_epoch) == 0:
+            self._update_stats()
+
+
 class EvalHook(HookBase):
     """Run eval_fn every ``eval_period`` epochs and after training
     (reference hooks.py:321-378); results go into EventStorage."""

@@ -108,6 +108,16 @@ class DefaultTrainer(SimpleTrainer):
                 int(cfg.SOLVER.MAX_EPOCHS),
             )
             ret.append(hooks_lib.PeriodicCheckpointerHook(pc, self.steps_per_epoch))
+        precise_bn = cfg.TEST.get("PRECISE_BN", {})
+        if bool(precise_bn.get("ENABLED", False)) and int(cfg.TEST.EVAL_PERIOD) > 0:
+            ret.append(
+                hooks_lib.PreciseBN(
+                    int(cfg.TEST.EVAL_PERIOD),
+                    self.steps_per_epoch,
+                    self.loader,
+                    int(precise_bn.get("NUM_ITER", 200)),
+                )
+            )
         if int(cfg.TEST.EVAL_PERIOD) > 0:
             ret.append(
                 hooks_lib.EvalHook(

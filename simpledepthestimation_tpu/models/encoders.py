@@ -155,15 +155,18 @@ class DenseNetEncoder(nn.Module):
                 )(x, train=train)
             num_features += n_layers * self.growth_rate
             if i != len(self.block_config) - 1:
-                # transition: norm+relu+1x1 conv (tap) + avgpool2
+                # transition: norm+relu+1x1 conv+avgpool2; the reference taps
+                # the whole torchvision Transition module's output, i.e.
+                # AFTER the avgpool (BTSNet.py:281-292 feat_names
+                # 'transition1'/'transition2' → H/8 and H/16 skips)
                 x = nn.relu(_bn(train, f"trans{i + 1}_norm")(x))
                 x = nn.Conv(
                     num_features // 2, (1, 1), use_bias=False,
                     dtype=self.dtype, name=f"trans{i + 1}_conv",
                 )(x)
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
                 if i in (0, 1):
                     features.append(x)  # transition1 / transition2
-                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
                 num_features //= 2
         x = _bn(train, "norm5")(x)
         features.append(x)
@@ -203,14 +206,17 @@ class InvertedResidual(nn.Module):
 
 
 class MobileNetV2Encoder(nn.Module):
-    """torchvision mobilenet_v2.features, tapped at indices 2/4/7/11/19
-    (reference BTSNet.py:307-311)."""
+    """torchvision mobilenet_v2.features, tapped per reference
+    BTSNet.py:318-328: its loop counter starts at 1 before the stem, so
+    tap values 2/4/7/11/19 are module indices 1/3/6/10/18 — the ir1 (16ch),
+    second 24ch, third 32ch, fourth 64ch blocks and the 1280ch head
+    (feat_out_channels BTSNet.py:310)."""
 
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
-        taps = {2, 4, 7, 11, 19}
+        taps = {1, 3, 6, 10, 18}
         features = []
         idx = 0
 

@@ -5,6 +5,7 @@ from .train_step import (
     make_train_step,
     make_eval_step,
     place_replicated,
+    compute_precise_bn_stats,
 )
 
 __all__ = [
@@ -13,6 +14,7 @@ __all__ = [
     "replicated",
     "shard_batch",
     "local_batch_size",
+    "compute_precise_bn_stats",
     "TrainState",
     "create_train_state",
     "make_train_step",

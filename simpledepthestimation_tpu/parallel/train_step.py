@@ -173,6 +173,80 @@ def make_eval_step(model, mesh):
     return run
 
 
+def compute_precise_bn_stats(model, state: TrainState, batches, rng=None):
+    """True-average BatchNorm statistics over ``batches`` (the functional
+    analog of fvcore's ``update_bn_stats`` used by the reference PreciseBN
+    hook, reference detectron2/engine/hooks.py:381-450).
+
+    Flax BN updates are EMAs ``new = m·old + (1−m)·B`` with a per-module
+    momentum ``m`` fixed at construction. Rather than threading momenta out
+    of every module, recover them elementwise with two calibration applies
+    on the same batch: from zeroed stats ``z = (1−m)·B`` and from all-ones
+    stats ``o = m + (1−m)·B``, so ``m = o − z``. Each batch applied from
+    zeroed stats then yields ``B_i = z_i / (1−m)``, and the true average is
+    ``mean_i(z_i) / (1−m)``.
+
+    Leaves that never update (FrozenBatchNorm / BN_NO_TRACK read their
+    stored stats in the forward pass) must NOT be perturbed — zeroing them
+    would corrupt activations feeding downstream tracking BNs. A first apply
+    from the true stats identifies the updating leaves; only those are
+    calibrated. Frozen leaves then pass through every apply unchanged
+    (``m = 0``, ``z_i = s0``), so the average returns exactly their current
+    values. Returns the new batch_stats tree; caller swaps it into the
+    train state.
+    """
+    stats0 = state.batch_stats
+    if not stats0:
+        return stats0
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    tmap = jax.tree_util.tree_map
+
+    @jax.jit
+    def stats_after(stats, batch, key):
+        _, mut = model.apply(
+            {"params": state.params, "batch_stats": stats},
+            batch,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"noise": key},
+        )
+        return mut["batch_stats"]
+
+    def clean(batch):
+        return {k: v for k, v in batch.items() if hasattr(v, "shape")}
+
+    batches = [clean(b) for b in batches]
+    if not batches:
+        return stats0
+
+    n1 = stats_after(stats0, batches[0], rng)
+    updating = tmap(lambda a, b: jnp.any(a != b), stats0, n1)
+    zeros = tmap(lambda u, s: jnp.where(u, jnp.zeros_like(s), s), updating, stats0)
+    ones = tmap(lambda u, s: jnp.where(u, jnp.ones_like(s), s), updating, stats0)
+
+    z0 = stats_after(zeros, batches[0], rng)
+    o0 = stats_after(ones, batches[0], rng)
+    momentum = tmap(lambda a, b: b - a, z0, o0)  # 0 on frozen leaves
+
+    total = z0
+    for i, batch in enumerate(batches[1:], start=1):
+        zi = stats_after(zeros, batch, jax.random.fold_in(rng, i))
+        total = tmap(jnp.add, total, zi)
+
+    n = float(len(batches))
+    return tmap(
+        lambda t, m, s0, u: jnp.where(
+            u & (1.0 - m > 1e-6), (t / n) / jnp.maximum(1.0 - m, 1e-6), s0
+        ),
+        total,
+        momentum,
+        stats0,
+        updating,
+    )
+
+
 def place_replicated(tree, mesh):
     """Place every leaf of a pytree replicated on the mesh (used after a
     checkpoint restore, which yields host/single-device arrays)."""

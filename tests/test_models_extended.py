@@ -75,6 +75,38 @@ def test_bts_shapes(rng):
     np.testing.assert_allclose(d2[mask] / d[mask], 2.0, rtol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "encoder", ["resnext50_bts", "densenet121_bts", "mobilenetv2_bts"]
+)
+def test_bts_encoder_zoo_forward(rng, encoder):
+    """Each zoo encoder (reference BTSNet.py:278-333) must feed the BTS
+    decoder 5 skip maps with the declared channel counts and produce a
+    finite full-res depth."""
+    from simpledepthestimation_tpu.models.encoders import BTS_ENCODERS
+
+    cfg = get_cfg()
+    cfg.MODEL.DEPTH_NET.NAME = "BtsModel"
+    cfg.MODEL.DEPTH_NET.ENCODER_NAME = encoder
+    cfg.MODEL.DEPTH_NET.BTS_SIZE = 256
+    cfg.MODEL.DATASET = "kitti"
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+
+    ctor, channels = BTS_ENCODERS[encoder]
+    enc = ctor(jnp.float32, "encoder")
+    img = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    feats = enc.init_with_output(jax.random.PRNGKey(0), img, train=False)[0]
+    assert tuple(f.shape[-1] for f in feats) == tuple(channels), encoder
+    # strides: the BTS decoder needs H/2, H/4, H/8, H/16, H/32 skips
+    assert tuple(f.shape[1] for f in feats) == (H // 2, H // 4, H // 8, H // 16, H // 32)
+
+    net = build_depth_net(cfg)
+    variables = net.init(jax.random.PRNGKey(0), img, train=False)
+    depths = net.apply(variables, img, train=False)
+    assert depths[0].shape == (B, H, W, 1)
+    d = np.asarray(depths[0])
+    assert np.isfinite(d).all() and (d >= 0).all()
+
+
 def test_bts_lpg_planar_exactness():
     """LPG on a fronto-parallel plane (n=(0,0,1), dist=d) gives depth d."""
     from simpledepthestimation_tpu.models.bts import local_planar_guidance

@@ -101,3 +101,78 @@ def test_grad_clip(rng):
     step = make_train_step(model, optimizer, mesh, donate=False, grad_clip=1e-6)
     new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_precise_bn_true_average(rng):
+    """compute_precise_bn_stats must return the exact mean of per-batch
+    statistics (reference PreciseBN / fvcore update_bn_stats semantics,
+    detectron2/engine/hooks.py:381-450) while leaving frozen-stat leaves
+    (FrozenBatchNorm) untouched and un-corrupted."""
+    import flax.linen as nn
+    from simpledepthestimation_tpu.models.norm_layers import FrozenBatchNorm
+    from simpledepthestimation_tpu.parallel import (
+        TrainState,
+        compute_precise_bn_stats,
+    )
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, batch, train=False):
+            x = batch["img"]
+            x = FrozenBatchNorm(name="fbn")(x)
+            x = nn.Dense(4, name="dense")(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, name="bn"
+            )(x)
+            return {"loss": jnp.mean(x**2)}
+
+    model = Tiny()
+    batches = [
+        {"img": rng.rand(16, 3).astype(np.float32) * (i + 1), "meta": "skipme"}
+        for i in range(4)
+    ]
+    variables = model.init(jax.random.PRNGKey(0), batches[0], train=True)
+    from flax.core import unfreeze
+
+    variables = unfreeze(variables)
+    # non-trivial frozen stats: the recompute must normalize through THESE
+    variables["batch_stats"]["fbn"]["mean"] = jnp.array([0.3, -0.2, 0.1])
+    variables["batch_stats"]["fbn"]["var"] = jnp.array([2.0, 0.5, 1.5])
+
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=None,
+    )
+
+    new_stats = compute_precise_bn_stats(model, state, batches)
+
+    # frozen leaves: exactly preserved (bit-identical to the stored f32)
+    np.testing.assert_array_equal(
+        np.asarray(new_stats["fbn"]["mean"]),
+        np.asarray(state.batch_stats["fbn"]["mean"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(new_stats["fbn"]["var"]),
+        np.asarray(state.batch_stats["fbn"]["var"]),
+    )
+
+    # tracking BN: true average of per-batch stats of the dense output,
+    # computed manually through the SAME frozen normalization
+    W = np.asarray(variables["params"]["dense"]["kernel"])
+    b = np.asarray(variables["params"]["dense"]["bias"])
+    fmean = np.array([0.3, -0.2, 0.1], np.float32)
+    fvar = np.array([2.0, 0.5, 1.5], np.float32)
+    means, vars_ = [], []
+    for batch in batches:
+        x = (batch["img"] - fmean) / np.sqrt(fvar + 1e-5)
+        y = x @ W + b
+        means.append(y.mean(0))
+        vars_.append(y.var(0))  # biased, matching flax
+    np.testing.assert_allclose(
+        np.asarray(new_stats["bn"]["mean"]), np.mean(means, 0), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_stats["bn"]["var"]), np.mean(vars_, 0), rtol=2e-4
+    )
