@@ -6,8 +6,12 @@ padding_mode='zeros', align_corners=True)`` (used at reference
 detectron2/geometry/camera.py:196) and of the TF-style gather resampler
 (reference detectron2/geometry/resampler.py:65-122), re-designed for TPU:
 
-- NHWC layout; the gather is a flat [B, H*W, C] ``take_along_axis`` which XLA
-  lowers to a vectorized dynamic-gather — channels ride the lane dimension.
+- NHWC layout; the gather is a single-axis ``jnp.take`` on the
+  batch-flattened [B*H*W, C] operand with the batch offset folded into the
+  indices — measured 1.54× faster on v5e than the batched [B, H*W, C]
+  ``take_along_axis`` formulation (tools/microbench_packed.py; both are
+  index-throughput-bound, but XLA's global single-axis gather lowering is
+  cheaper per index). Channels ride the lane dimension.
 - Gradients flow through both the image (gather transpose = scatter-add) and
   the coordinates (analytic bilinear weight derivative), matching
   grid_sample's autograd.
@@ -20,18 +24,25 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def _gather_corner(flat_img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray, H: int, W: int):
+def _gather_corner(
+    flat_img: jnp.ndarray,
+    base: jnp.ndarray,
+    ix: jnp.ndarray,
+    iy: jnp.ndarray,
+    H: int,
+    W: int,
+):
     """Gather pixel values at integer (ix, iy), zero-filling out-of-bounds.
 
-    flat_img: [B, H*W, C]; ix, iy: [B, N] int32.
-    Returns (values [B, N, C], inbounds [B, N, 1]).
+    flat_img: [B*H*W, C]; base: [B, 1] per-batch flat offsets (b·H·W);
+    ix, iy: [B, N] int32. Returns values [B, N, C].
     """
     inb = (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
-    ixc = jnp.clip(ix, 0, W - 1)
-    iyc = jnp.clip(iy, 0, H - 1)
-    flat_idx = (iyc * W + ixc)[..., None]  # [B, N, 1]
-    vals = jnp.take_along_axis(flat_img, flat_idx, axis=1)
-    return vals * inb[..., None].astype(flat_img.dtype), inb[..., None]
+    idx = base + jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
+    vals = jnp.take(flat_img, idx.reshape(-1), axis=0, mode="clip").reshape(
+        idx.shape + (flat_img.shape[-1],)
+    )
+    return vals * inb[..., None].astype(flat_img.dtype)
 
 
 def resample_bilinear(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -57,11 +68,12 @@ def resample_bilinear(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    flat = image.reshape(B, H * W, C)
-    v00, _ = _gather_corner(flat, x0i, y0i, H, W)
-    v01, _ = _gather_corner(flat, x0i + 1, y0i, H, W)
-    v10, _ = _gather_corner(flat, x0i, y0i + 1, H, W)
-    v11, _ = _gather_corner(flat, x0i + 1, y0i + 1, H, W)
+    flat = image.reshape(B * H * W, C)
+    base = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None]
+    v00 = _gather_corner(flat, base, x0i, y0i, H, W)
+    v01 = _gather_corner(flat, base, x0i + 1, y0i, H, W)
+    v10 = _gather_corner(flat, base, x0i, y0i + 1, H, W)
+    v11 = _gather_corner(flat, base, x0i + 1, y0i + 1, H, W)
 
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
