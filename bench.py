@@ -44,7 +44,9 @@ def main():
     dtype = "bfloat16" if on_tpu else "float32"
     cfg = _tiny_cfg(dtype)
 
-    B, H, W = (16, 192, 640) if on_tpu else (4, 64, 96)
+    # B=24 is the measured per-chip sweet spot with the flat-gather warp
+    # (73.5 img/s vs 69.9 at B=16 and 46.0 at B=32 — docs/PERF.md)
+    B, H, W = (24, 192, 640) if on_tpu else (4, 64, 96)
     batch = _train_batch(B, H, W)
 
     model = build_model(cfg)
