@@ -70,8 +70,12 @@ def test_grid_sample_parity_random_grid(rng, shape):
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
-def test_grid_sample_gradients_match_torch(rng):
-    B, H, W, C = 1, 6, 7, 2
+@pytest.mark.parametrize("B", [1, 3])
+def test_grid_sample_gradients_match_torch(rng, B):
+    # B=3 exercises the batch-offset arithmetic of the flattened global
+    # gather (ops/resample.py) through both the image-scatter and the
+    # coordinate gradients
+    H, W, C = 6, 7, 2
     img = rng.rand(B, H, W, C).astype(np.float32)
     grid = rng.uniform(-0.9, 0.9, (B, H, W, 2)).astype(np.float32)
 
