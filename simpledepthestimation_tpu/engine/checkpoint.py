@@ -48,24 +48,93 @@ class Checkpointer:
         """Mirror of reference resume_or_load: with ``resume`` and an existing
         checkpoint, restore everything + the epoch counter; otherwise load
         ``weights_path`` weights-only (params/batch_stats). Returns
-        (state, start_epoch)."""
+        (state, start_epoch).
+
+        Non-strict like the reference's fvcore Checkpointer: when the live
+        state's tree differs from the stored one (e.g. ``--eval`` of a
+        self-supervised run initializes through the inference path, which has
+        no pose_net), the restore falls back to loading the intersection and
+        logs the missing/unexpected keys."""
         if resume and self.has_checkpoint():
             step = self.manager.latest_step()
             template = {"state": state, "meta": {"epoch": 0}}
-            restored = self.manager.restore(
-                step, args=ocp.args.StandardRestore(template)
-            )
-            logger.info(f"Resumed from checkpoint epoch {step}")
-            return restored["state"], int(restored["meta"]["epoch"]) + 1
+            try:
+                restored = self.manager.restore(
+                    step, args=ocp.args.StandardRestore(template)
+                )
+                logger.info(f"Resumed from checkpoint epoch {step}")
+                return restored["state"], int(restored["meta"]["epoch"]) + 1
+            except BaseException as e:
+                logger.warning(
+                    "Strict checkpoint restore failed "
+                    f"({type(e).__name__}); retrying as a partial "
+                    "(intersection) restore"
+                )
+            raw = self.manager.restore(step)
+            new_state = _partial_state_restore(state, raw.get("state", raw))
+            meta = raw.get("meta", {})
+            logger.info(f"Partially resumed from checkpoint epoch {step}")
+            return new_state, int(meta.get("epoch", step)) + 1
 
         if weights_path:
             state = load_weights(weights_path, state)
         return state, 0
 
 
+def _merge_tree(template, restored, path: str, missing, unexpected):
+    """Recursive intersection merge: values present in both trees come from
+    the checkpoint; template-only keys keep their (freshly initialized)
+    values and are reported missing; checkpoint-only keys are reported
+    unexpected (fvcore non-strict load semantics, reference
+    checkpoint/checkpoint.py:22-31 ignoring pixel_mean/std-style extras)."""
+    if not isinstance(template, dict) or not isinstance(restored, dict):
+        return restored if restored is not None else template
+    out = {}
+    for k, v in template.items():
+        if k in restored:
+            out[k] = _merge_tree(v, restored[k], f"{path}{k}.", missing, unexpected)
+        else:
+            missing.append(f"{path}{k}")
+            out[k] = v
+    for k in restored:
+        if k not in template:
+            unexpected.append(f"{path}{k}")
+    return out
+
+
+def _partial_state_restore(state: TrainState, raw_state) -> TrainState:
+    """Merge a raw (templateless) restored state dict into ``state`` by tree
+    intersection. Only params/batch_stats are merged — a mismatched tree
+    means the architecture views differ (e.g. eval-path init), so optimizer
+    state is left at its template values."""
+    missing, unexpected = [], []
+    params = _merge_tree(
+        dict(state.params), dict(raw_state.get("params", {})), "params.", missing, unexpected
+    )
+    batch_stats = _merge_tree(
+        dict(state.batch_stats) if state.batch_stats else {},
+        dict(raw_state.get("batch_stats", {}) or {}),
+        "batch_stats.",
+        missing,
+        unexpected,
+    )
+    if missing:
+        logger.warning(
+            f"Keys in the model but not the checkpoint (kept at init): {missing[:20]}"
+            + (" ..." if len(missing) > 20 else "")
+        )
+    if unexpected:
+        logger.info(
+            f"Checkpoint keys unused by this model: {unexpected[:20]}"
+            + (" ..." if len(unexpected) > 20 else "")
+        )
+    return state.replace(params=params, batch_stats=batch_stats)
+
+
 def load_weights(path: str, state: TrainState) -> TrainState:
     """Weights-only load (params + batch_stats) from an Orbax checkpoint dir
-    or a saved-state directory."""
+    or a saved-state directory. Non-strict: falls back to an intersection
+    merge when the trees differ."""
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     template = {"state": state, "meta": {"epoch": 0}}
@@ -73,9 +142,16 @@ def load_weights(path: str, state: TrainState) -> TrainState:
         restored = ckptr.restore(path, template)
         new_state = restored["state"]
     except BaseException:
-        # maybe it's a bare state directory
-        restored = ckptr.restore(path, state)
-        new_state = restored
+        try:
+            # maybe it's a bare state directory
+            restored = ckptr.restore(path, state)
+            new_state = restored
+        except BaseException:
+            raw = ckptr.restore(path)
+            logger.warning(
+                "Strict weights load failed; using partial (intersection) load"
+            )
+            new_state = _partial_state_restore(state, raw.get("state", raw))
     logger.info(f"Loaded weights from {path}")
     return state.replace(params=new_state.params, batch_stats=new_state.batch_stats)
 

@@ -180,3 +180,39 @@ def test_hooks_fire_in_order():
     t.register_hooks([Recorder()])
     t.train(0, 2)
     assert calls == ["bt", "bs", "run0", "as", "bs", "run1", "as", "at"]
+
+
+def test_partial_restore_eval_template(tmp_path):
+    """--eval of a self-supervised run: the eval-time state (inference init,
+    no pose_net) must restore the depth-net subtree from a full train
+    checkpoint non-strictly (reference fvcore Checkpointer semantics)."""
+    import jax.numpy as jnp
+
+    from simpledepthestimation_tpu.engine.checkpoint import Checkpointer
+    from simpledepthestimation_tpu.parallel import TrainState
+
+    full = TrainState(
+        step=jnp.asarray(5, jnp.int32),
+        params={
+            "depth_net": {"w": jnp.full((3,), 7.0)},
+            "pose_net": {"w": jnp.full((2,), 2.0)},
+        },
+        batch_stats={"depth_net": {"bn": {"mean": jnp.full((3,), 0.5)}}},
+        opt_state=(jnp.zeros((1,)),),
+    )
+    ck = Checkpointer(str(tmp_path / "ckpt"))
+    ck.save(0, full)
+
+    eval_state = TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params={"depth_net": {"w": jnp.zeros((3,))}},
+        batch_stats={"depth_net": {"bn": {"mean": jnp.zeros((3,))}}},
+        opt_state=None,
+    )
+    restored, start_epoch = ck.resume_or_load("", eval_state, resume=True)
+    assert start_epoch == 1
+    np.testing.assert_allclose(np.asarray(restored.params["depth_net"]["w"]), 7.0)
+    np.testing.assert_allclose(
+        np.asarray(restored.batch_stats["depth_net"]["bn"]["mean"]), 0.5
+    )
+    assert "pose_net" not in restored.params
