@@ -59,6 +59,19 @@ class PrefetchLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         _SENTINEL = object()
         err: list = []
+        stop = threading.Event()  # set when the consumer abandons the iterator
+
+        def put(item) -> bool:
+            """Bounded put that aborts when the consumer is gone (a consumer
+            breaking out of the loop early — e.g. PreciseBN taking N batches —
+            must not leave this thread blocked on a full queue forever)."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
@@ -73,28 +86,37 @@ class PrefetchLoader:
                     # map keeps order; chunks pipeline across the pool
                     pending = []
                     for batch_idx in batches:
+                        if stop.is_set():
+                            return
                         futs = [pool.submit(self._sample, i) for i in batch_idx]
                         pending.append(futs)
                         # bound in-flight decode work to ~2 batches beyond the queue
                         while len(pending) > 2:
                             done = pending.pop(0)
                             samples = [f.result() for f in done]
-                            out_q.put(self.dataset.batch_collator(samples))
+                            if not put(self.dataset.batch_collator(samples)):
+                                return
                     for done in pending:
                         samples = [f.result() for f in done]
-                        out_q.put(self.dataset.batch_collator(samples))
+                        if not put(self.dataset.batch_collator(samples)):
+                            return
             except BaseException as e:  # propagate into the consumer
                 err.append(e)
             finally:
-                out_q.put(_SENTINEL)
+                # stop-aware put: delivered when the consumer is still
+                # draining; abandoned harmlessly when it is gone
+                put(_SENTINEL)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = out_q.get()
-            if item is _SENTINEL:
-                break
-            yield item
-        thread.join()
-        if err:
-            raise err[0]
+        try:
+            while True:
+                item = out_q.get()
+                if item is _SENTINEL:
+                    break
+                yield item
+            if err:
+                raise err[0]
+        finally:
+            stop.set()
+            thread.join()

@@ -64,7 +64,7 @@ class Checkpointer:
                 )
                 logger.info(f"Resumed from checkpoint epoch {step}")
                 return restored["state"], int(restored["meta"]["epoch"]) + 1
-            except BaseException as e:
+            except Exception as e:
                 logger.warning(
                     "Strict checkpoint restore failed "
                     f"({type(e).__name__}); retrying as a partial "
@@ -82,13 +82,25 @@ class Checkpointer:
 
 
 def _merge_tree(template, restored, path: str, missing, unexpected):
-    """Recursive intersection merge: values present in both trees come from
-    the checkpoint; template-only keys keep their (freshly initialized)
-    values and are reported missing; checkpoint-only keys are reported
-    unexpected (fvcore non-strict load semantics, reference
-    checkpoint/checkpoint.py:22-31 ignoring pixel_mean/std-style extras)."""
-    if not isinstance(template, dict) or not isinstance(restored, dict):
-        return restored if restored is not None else template
+    """Recursive intersection merge: values present in both trees with
+    matching shapes come from the checkpoint; template-only, wrong-shaped,
+    or structurally-mismatched keys keep their (freshly initialized) values
+    and are reported missing; checkpoint-only keys are reported unexpected
+    (fvcore non-strict load semantics — 'Skip loading parameter ... shape
+    mismatch', reference checkpoint/checkpoint.py:22-31)."""
+    t_is_dict = isinstance(template, dict)
+    r_is_dict = isinstance(restored, dict)
+    if t_is_dict != r_is_dict:
+        # leaf vs subtree structural mismatch: keep the template
+        missing.append(f"{path[:-1]} (structure mismatch)")
+        return template
+    if not t_is_dict:
+        t_shape = getattr(template, "shape", None)
+        r_shape = getattr(restored, "shape", None)
+        if t_shape != r_shape:
+            missing.append(f"{path[:-1]} (shape {r_shape} vs expected {t_shape})")
+            return template
+        return restored
     out = {}
     for k, v in template.items():
         if k in restored:
@@ -141,12 +153,12 @@ def load_weights(path: str, state: TrainState) -> TrainState:
     try:
         restored = ckptr.restore(path, template)
         new_state = restored["state"]
-    except BaseException:
+    except Exception:
         try:
             # maybe it's a bare state directory
             restored = ckptr.restore(path, state)
             new_state = restored
-        except BaseException:
+        except Exception:
             raw = ckptr.restore(path)
             logger.warning(
                 "Strict weights load failed; using partial (intersection) load"

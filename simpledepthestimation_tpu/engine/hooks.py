@@ -3,11 +3,10 @@
 Parity with reference detectron2/engine/hooks.py:23-450: CallbackHook,
 IterationTimer (hook-overhead-excluding step timing with warmup),
 PeriodicWriter, PeriodicCheckpointer-as-hook, LRScheduler (logs the schedule
-value), EvalHook (every N epochs + final), and the profiler hook —
+value), EvalHook (every N epochs + final), PreciseBN (functional
+true-average BN statistics recompute), and the profiler hook —
 ``JaxProfiler`` wraps ``jax.profiler`` trace collection (Perfetto/XProf)
-replacing torch's AutogradProfiler Chrome traces. PreciseBN has no analog
-here: BatchNorm running stats are already true EMAs updated inside the jitted
-step.
+replacing torch's AutogradProfiler Chrome traces.
 """
 
 from __future__ import annotations
@@ -158,26 +157,43 @@ class PreciseBN(HookBase):
         self._loader = loader
         self._num_iter = num_iter
         self._disabled = False
+        self._stats_after = None  # compiled update, reused across firings
 
     def _update_stats(self):
         if self._disabled:
             return
-        from ..parallel import compute_precise_bn_stats
+        import itertools
+
+        import jax
+
+        from ..parallel import compute_precise_bn_stats, make_precise_bn_fn
 
         state = self.trainer.state
         if not state.batch_stats:
             logger.info("PreciseBN: model has no batch_stats; hook disabled")
             self._disabled = True
             return
-        batches = []
-        for batch in self._loader:
-            batches.append(batch)
-            if len(batches) >= self._num_iter:
-                break
+        if self._stats_after is None:
+            self._stats_after = make_precise_bn_fn(self.trainer.model)
         logger.info(
-            f"PreciseBN: recomputing statistics over {len(batches)} batches"
+            f"PreciseBN: recomputing statistics over {self._num_iter} batches"
         )
-        new_stats = compute_precise_bn_stats(self.trainer.model, state, batches)
+        # stream, don't materialize: one host batch in flight at a time
+        batches = itertools.islice(iter(self._loader), self._num_iter)
+        new_stats = compute_precise_bn_stats(
+            self.trainer.model, state, batches, stats_after=self._stats_after
+        )
+        if comm.get_world_size() > 1:
+            # each process computed stats over its own loader shard; average
+            # across hosts so replicated batch_stats stay bit-identical
+            import numpy as np
+
+            gathered = comm.all_gather(
+                jax.tree_util.tree_map(lambda x: np.asarray(x), new_stats)
+            )
+            new_stats = jax.tree_util.tree_map(
+                lambda *xs: np.mean(np.stack(xs), axis=0), *gathered
+            )
         self.trainer.state = state.replace(batch_stats=new_stats)
 
     def after_step(self):

@@ -101,13 +101,9 @@ class DefaultTrainer(SimpleTrainer):
             hooks_lib.IterationTimer(),
             hooks_lib.LRSchedulerHook(self.lr_schedule),
         ]
-        if comm.is_main_process():
-            pc = PeriodicCheckpointer(
-                self.checkpointer,
-                int(cfg.SOLVER.CHECKPOINT_PERIOD),
-                int(cfg.SOLVER.MAX_EPOCHS),
-            )
-            ret.append(hooks_lib.PeriodicCheckpointerHook(pc, self.steps_per_epoch))
+        # PreciseBN must run BEFORE the checkpointer so epoch-end checkpoints
+        # carry the same precise statistics the same-step eval uses
+        # (reference defaults.py:351-397 registration order)
         precise_bn = cfg.TEST.get("PRECISE_BN", {})
         if bool(precise_bn.get("ENABLED", False)) and int(cfg.TEST.EVAL_PERIOD) > 0:
             ret.append(
@@ -118,6 +114,13 @@ class DefaultTrainer(SimpleTrainer):
                     int(precise_bn.get("NUM_ITER", 200)),
                 )
             )
+        if comm.is_main_process():
+            pc = PeriodicCheckpointer(
+                self.checkpointer,
+                int(cfg.SOLVER.CHECKPOINT_PERIOD),
+                int(cfg.SOLVER.MAX_EPOCHS),
+            )
+            ret.append(hooks_lib.PeriodicCheckpointerHook(pc, self.steps_per_epoch))
         if int(cfg.TEST.EVAL_PERIOD) > 0:
             ret.append(
                 hooks_lib.EvalHook(

@@ -8,8 +8,11 @@ module adds:
 - resnext50_32x4d / resnext101_32x8d: ResNet bottlenecks with grouped 3×3
   convs (``feature_group_count`` — maps directly onto the MXU).
 - densenet121 / densenet161: dense blocks + transitions, tapped at
-  relu0/pool0/transition1/transition2/norm5.
-- mobilenet_v2: inverted residual blocks, tapped at features 2/4/7/11/19.
+  relu0 (H/2) / pool0 (H/4) / transition1 (H/8, after its avgpool) /
+  transition2 (H/16) / norm5 (H/32).
+- mobilenet_v2: inverted residual blocks, tapped at module indices
+  1/3/6/10/18 (16/24/32/64/1280 channels — the reference's feat_inds
+  2/4/7/11/19 with its 1-based loop counter).
 """
 
 from __future__ import annotations
@@ -126,8 +129,10 @@ class DenseNetEncoder(nn.Module):
     """densenet121: blocks (6,12,24,16), growth 32, init 64;
     densenet161: blocks (6,12,36,24), growth 48, init 96.
 
-    Taps: relu0 (after first conv+bn+relu), pool0, transition1 conv output,
-    transition2 conv output, final norm5 (reference BTSNet feat_names)."""
+    Taps (reference BTSNet feat_names, whole-Transition-module outputs):
+    relu0 (after first conv+bn+relu, H/2), pool0 (H/4), transition1 output
+    after its avgpool (H/8), transition2 output (H/16), final norm5
+    (H/32)."""
 
     block_config: Tuple[int, ...] = (6, 12, 24, 16)
     growth_rate: int = 32

@@ -6,6 +6,7 @@ from .train_step import (
     make_eval_step,
     place_replicated,
     compute_precise_bn_stats,
+    make_precise_bn_fn,
 )
 
 __all__ = [
@@ -15,6 +16,7 @@ __all__ = [
     "shard_batch",
     "local_batch_size",
     "compute_precise_bn_stats",
+    "make_precise_bn_fn",
     "TrainState",
     "create_train_state",
     "make_train_step",

@@ -173,7 +173,27 @@ def make_eval_step(model, mesh):
     return run
 
 
-def compute_precise_bn_stats(model, state: TrainState, batches, rng=None):
+def make_precise_bn_fn(model):
+    """Build the (cacheable) jitted one-batch stats update for
+    :func:`compute_precise_bn_stats`. Params are a traced argument — not a
+    closure capture — so the caller can reuse one compiled function across
+    eval periods without retracing or baking parameters in as constants."""
+
+    @jax.jit
+    def stats_after(params, stats, batch, key):
+        _, mut = model.apply(
+            {"params": params, "batch_stats": stats},
+            batch,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"noise": key},
+        )
+        return mut["batch_stats"]
+
+    return stats_after
+
+
+def compute_precise_bn_stats(model, state: TrainState, batches, rng=None, stats_after=None):
     """True-average BatchNorm statistics over ``batches`` (the functional
     analog of fvcore's ``update_bn_stats`` used by the reference PreciseBN
     hook, reference detectron2/engine/hooks.py:381-450).
@@ -192,53 +212,54 @@ def compute_precise_bn_stats(model, state: TrainState, batches, rng=None):
     from the true stats identifies the updating leaves; only those are
     calibrated. Frozen leaves then pass through every apply unchanged
     (``m = 0``, ``z_i = s0``), so the average returns exactly their current
-    values. Returns the new batch_stats tree; caller swaps it into the
-    train state.
+    values.
+
+    ``batches`` is consumed as a stream (one batch of host memory at a
+    time — fvcore's ``update_bn_stats`` streams the same way); only the
+    first batch is retained for the calibration applies. ``stats_after``
+    (from :func:`make_precise_bn_fn`) can be passed in to reuse one
+    compiled update across calls. Returns the new batch_stats tree; caller
+    swaps it into the train state.
     """
     stats0 = state.batch_stats
     if not stats0:
         return stats0
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    if stats_after is None:
+        stats_after = make_precise_bn_fn(model)
 
     tmap = jax.tree_util.tree_map
-
-    @jax.jit
-    def stats_after(stats, batch, key):
-        _, mut = model.apply(
-            {"params": state.params, "batch_stats": stats},
-            batch,
-            train=True,
-            mutable=["batch_stats"],
-            rngs={"noise": key},
-        )
-        return mut["batch_stats"]
 
     def clean(batch):
         return {k: v for k, v in batch.items() if hasattr(v, "shape")}
 
-    batches = [clean(b) for b in batches]
-    if not batches:
+    it = iter(batches)
+    try:
+        first = clean(next(it))
+    except StopIteration:
         return stats0
 
-    n1 = stats_after(stats0, batches[0], rng)
+    params = state.params
+    n1 = stats_after(params, stats0, first, rng)
     updating = tmap(lambda a, b: jnp.any(a != b), stats0, n1)
     zeros = tmap(lambda u, s: jnp.where(u, jnp.zeros_like(s), s), updating, stats0)
     ones = tmap(lambda u, s: jnp.where(u, jnp.ones_like(s), s), updating, stats0)
 
-    z0 = stats_after(zeros, batches[0], rng)
-    o0 = stats_after(ones, batches[0], rng)
+    z0 = stats_after(params, zeros, first, rng)
+    o0 = stats_after(params, ones, first, rng)
     momentum = tmap(lambda a, b: b - a, z0, o0)  # 0 on frozen leaves
 
     total = z0
-    for i, batch in enumerate(batches[1:], start=1):
-        zi = stats_after(zeros, batch, jax.random.fold_in(rng, i))
+    n = 1
+    for batch in it:
+        zi = stats_after(params, zeros, clean(batch), jax.random.fold_in(rng, n))
         total = tmap(jnp.add, total, zi)
+        n += 1
 
-    n = float(len(batches))
     return tmap(
         lambda t, m, s0, u: jnp.where(
-            u & (1.0 - m > 1e-6), (t / n) / jnp.maximum(1.0 - m, 1e-6), s0
+            u & (1.0 - m > 1e-6), (t / float(n)) / jnp.maximum(1.0 - m, 1e-6), s0
         ),
         total,
         momentum,

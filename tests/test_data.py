@@ -273,3 +273,25 @@ def test_test_loader_batch1():
     batches = list(loader)
     assert len(batches) == 5
     assert batches[0]["img"].shape[0] == 1
+
+
+def test_loader_early_break_no_thread_leak():
+    """A consumer abandoning the iterator mid-epoch (PreciseBN takes N
+    batches and breaks) must not leave the producer thread blocked on the
+    full prefetch queue."""
+    import gc
+    import threading
+    import time
+
+    cfg = _synthetic_cfg()
+    baseline = threading.active_count()
+    for _ in range(3):
+        loader = build_train_loader(cfg, seed=0)
+        it = iter(loader)
+        next(it)
+        it.close()  # GeneratorExit → stop event → producer unblocks
+    gc.collect()
+    deadline = time.time() + 5.0
+    while threading.active_count() > baseline and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= baseline
