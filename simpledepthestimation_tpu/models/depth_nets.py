@@ -21,9 +21,11 @@ from .depth_decoder import DepthDecoder
 from ..geometry.camera import resize_img
 
 
-def parse_encoder_version(version: str) -> Tuple[int, bool]:
+def parse_encoder_version(version) -> Tuple[int, bool]:
     """'18pt' → (18, pretrained=True); '50' → (50, False)
-    (reference DepthResNet.py:34-37)."""
+    (reference DepthResNet.py:34-37). A bare CLI override like
+    ``MODEL.DEPTH_NET.ENCODER_NAME 18`` literal-parses to an int — coerce."""
+    version = str(version)
     num_layers = int(version[:2])
     pretrained = version[2:] == "pt"
     assert num_layers in (18, 34, 50), f"ResNet version {num_layers} not available"

@@ -201,7 +201,7 @@ class GoogleResNet(nn.Module):
 
     @classmethod
     def from_cfg(cls, cfg):
-        version = cfg.MODEL.DEPTH_NET.ENCODER_NAME
+        version = str(cfg.MODEL.DEPTH_NET.ENCODER_NAME)
         num_layers = int(version[:2])
         return cls(
             num_layers=num_layers,
@@ -284,7 +284,7 @@ class GoogleResNetv2(nn.Module):
 
     @classmethod
     def from_cfg(cls, cfg):
-        version = cfg.MODEL.DEPTH_NET.ENCODER_NAME
+        version = str(cfg.MODEL.DEPTH_NET.ENCODER_NAME)
         assert int(version[:2]) == 18, "GoogleResNetv2 supports 18 layers only"
         return cls(
             norm=cfg.MODEL.DEPTH_NET.get("NORM", "BN"),

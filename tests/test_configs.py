@@ -35,3 +35,20 @@ def test_all_configs_found():
     names = {os.path.basename(p) for p in CONFIGS}
     assert {"resnet18.yaml", "bts_r50.yaml", "packnet_1a.yaml", "synthetic_quick.yaml"} <= names
     assert len(CONFIGS) >= 9
+
+
+def test_numeric_encoder_name_override():
+    """CLI `MODEL.DEPTH_NET.ENCODER_NAME 18` literal-parses to an int; the
+    depth-net builders must coerce instead of crashing."""
+    from simpledepthestimation_tpu.config import get_cfg
+    from simpledepthestimation_tpu.models import build_depth_net
+
+    cfg = get_cfg()
+    cfg.MODEL.DEPTH_NET.NAME = "DepthResNet"
+    cfg.merge_from_list(["MODEL.DEPTH_NET.ENCODER_NAME", "18"])
+    assert build_depth_net(cfg) is not None
+
+    cfg2 = get_cfg()
+    cfg2.MODEL.DEPTH_NET.NAME = "GoogleResNet"
+    cfg2.merge_from_list(["MODEL.DEPTH_NET.ENCODER_NAME", "18"])
+    assert build_depth_net(cfg2) is not None
