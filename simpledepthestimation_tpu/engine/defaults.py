@@ -73,6 +73,16 @@ def assemble_cfg(args) -> CfgNode:
     if args.cfg:
         cfg.merge_from_file(args.cfg)
     if args.opts:
+        flags = [o for o in args.opts if isinstance(o, str) and o.startswith("--")]
+        if flags:
+            # argparse REMAINDER swallows anything after the first KEY VALUE
+            # pair, including flags — a confusing footgun inherited from the
+            # reference parser (defaults.py:50-107); fail with a clear message
+            raise SystemExit(
+                f"Flags {flags} appeared after KEY VALUE overrides; place "
+                "--resume/--eval/--num-processes etc. BEFORE the trailing "
+                "config overrides."
+            )
         cfg.merge_from_list(list(args.opts))
 
     if not cfg.RUN_NAME:

@@ -52,3 +52,19 @@ def test_numeric_encoder_name_override():
     cfg2.MODEL.DEPTH_NET.NAME = "GoogleResNet"
     cfg2.merge_from_list(["MODEL.DEPTH_NET.ENCODER_NAME", "18"])
     assert build_depth_net(cfg2) is not None
+
+
+def test_flags_after_opts_clear_error():
+    """argparse REMAINDER swallows flags placed after KEY VALUE overrides;
+    assemble_cfg must fail with an actionable message instead of an opaque
+    odd-length assert."""
+    import pytest as _pytest
+
+    from simpledepthestimation_tpu.engine import default_argument_parser
+    from simpledepthestimation_tpu.engine.defaults import assemble_cfg
+
+    args = default_argument_parser().parse_args(
+        ["--cfg", "", "SOLVER.MAX_EPOCHS", "4", "--resume"]
+    )
+    with _pytest.raises(SystemExit, match="BEFORE the trailing"):
+        assemble_cfg(args)
