@@ -101,22 +101,28 @@ def test_kitti_context_breaks_across_drives(tmp_path):
     assert len(ds) == 2
 
 
-def _make_waymo_tree(root, n_frames=5):
+def _make_waymo_tree(root, n_frames=5, cams=("FRONT",)):
     frames = []
-    K = np.array([[2000.0, 0, 960], [0, 2000.0, 640], [0, 0, 1]], np.float32)
     for i in range(n_frames):
         rel = os.path.join("seg-000", f"{i:05d}")
-        _write_img(os.path.join(root, "training", "image", rel, "FRONT.jpg"))
-        depth = (np.random.RandomState(i).rand(64, 96) * 50 * 255).astype(np.uint16)
-        dd = os.path.join(root, "training", "depth", rel)
-        os.makedirs(dd, exist_ok=True)
-        cv2.imwrite(os.path.join(dd, "FRONT_depth.png"), depth)
+        calib = {}
+        for ci, cam in enumerate(cams):
+            K = np.array(
+                [[2000.0 + 100 * ci, 0, 960], [0, 2000.0 + 100 * ci, 640], [0, 0, 1]],
+                np.float32,
+            )
+            _write_img(os.path.join(root, "training", "image", rel, f"{cam}.jpg"))
+            depth = (np.random.RandomState(i).rand(64, 96) * 50 * 255).astype(np.uint16)
+            dd = os.path.join(root, "training", "depth", rel)
+            os.makedirs(dd, exist_ok=True)
+            cv2.imwrite(os.path.join(dd, f"{cam}_depth.png"), depth)
+            calib[cam] = {"intrinsics": K}
         frames.append(
             {
                 "segment": "seg-000",
                 "frame": i,
                 "rel_dir": rel,
-                "calib": {"FRONT": {"intrinsics": K}},
+                "calib": calib,
             }
         )
     os.makedirs(os.path.join(root, "infos"), exist_ok=True)
@@ -172,3 +178,38 @@ def test_waymo_downsample(tmp_path):
     )
     ds = DATASET_REGISTRY.get("WaymoDepth")(ds_cfg, get_cfg())
     assert len(ds) == 4  # 8 frames downsampled to 4, no context constraint
+
+
+def test_waymo_multicam(tmp_path):
+    """USE_CAMS with several cameras: the (frame, cam) product becomes the
+    sample axis (the reference returns per-frame camera lists absorbed into
+    the batch by its collator, waymo.py:128-155 — same capability, flattened
+    upstream), with per-camera calibration."""
+    root = str(tmp_path / "waymo")
+    infos = _make_waymo_tree(root, n_frames=4, cams=("FRONT", "FRONT_LEFT"))
+    ds_cfg = CfgNode(
+        {
+            "NAME": "WaymoDepth",
+            "DATA_ROOT": os.path.join(root, "training", "image"),
+            "SPLIT": infos,
+            "USE_CAMS": ["FRONT", "FRONT_LEFT"],
+            "DOWNSAMPLE": 1,
+            "FORWARD_CONTEXT": 1,
+            "BACKWARD_CONTEXT": 1,
+            "PREPROCESS": [
+                CfgNode({"NAME": "LoadImg", "WITH_CTX": True}),
+                CfgNode({"NAME": "ToTensor"}),
+            ],
+        }
+    )
+    ds = DATASET_REGISTRY.get("WaymoDepth")(ds_cfg, get_cfg())
+    assert len(ds) == 4  # 2 valid frames x 2 cams
+    cams = set()
+    focals = set()
+    for i in range(len(ds)):
+        s = ds.get_sample(i, np.random.default_rng(0))
+        cams.add(s["metadata"]["cam"])
+        focals.add(float(s["intrinsics"][0, 0]))
+        assert len(s["ctx_img"]) == 2
+    assert cams == {"FRONT", "FRONT_LEFT"}
+    assert focals == {2000.0, 2100.0}
