@@ -70,14 +70,15 @@ def test_grid_sample_parity_random_grid(rng, shape):
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
-@pytest.mark.parametrize("B", [1, 3])
-def test_grid_sample_gradients_match_torch(rng, B):
+@pytest.mark.parametrize("B,lim", [(1, 0.9), (3, 0.9), (3, 1.3)])
+def test_grid_sample_gradients_match_torch(rng, B, lim):
     # B=3 exercises the batch-offset arithmetic of the flattened global
     # gather (ops/resample.py) through both the image-scatter and the
-    # coordinate gradients
+    # coordinate gradients; lim=1.3 covers out-of-bounds samples (zeros
+    # padding must kill both gradients outside, fade them at the border)
     H, W, C = 6, 7, 2
     img = rng.rand(B, H, W, C).astype(np.float32)
-    grid = rng.uniform(-0.9, 0.9, (B, H, W, 2)).astype(np.float32)
+    grid = rng.uniform(-lim, lim, (B, H, W, 2)).astype(np.float32)
 
     def loss_jax(img_j, grid_j):
         return jnp.sum(grid_sample_bilinear(img_j, grid_j) ** 2)

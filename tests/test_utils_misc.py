@@ -97,3 +97,44 @@ def test_motionlearning_schedules():
     s1000 = fn(1000)
     np.testing.assert_allclose(s1000["noise_stddev"], 0.5)
     np.testing.assert_allclose(s1000["motion_weight"], 1.0)
+
+
+def test_retry_if_oom():
+    from simpledepthestimation_tpu.utils.memory import retry_if_oom
+
+    calls = []
+
+    @retry_if_oom
+    def flaky():
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+        return 42
+
+    assert flaky() == 42 and len(calls) == 2
+
+    @retry_if_oom
+    def broken():
+        raise ValueError("unrelated")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        broken()
+
+
+def test_event_storage_histogram_and_seed():
+    import numpy as np
+
+    from simpledepthestimation_tpu.utils.events import EventStorage
+    from simpledepthestimation_tpu.utils.env import seed_all_rng
+
+    with EventStorage(0) as s:
+        s.put_histogram("h", np.arange(100.0))
+        assert s._histograms  # binned data queued for the TB writer
+
+    seed_all_rng(123)
+    a = np.random.rand(3)
+    seed_all_rng(123)
+    b = np.random.rand(3)
+    np.testing.assert_array_equal(a, b)
