@@ -219,36 +219,53 @@ class ClipDepth(Preprocess):
 
 
 def _to_float(img: np.ndarray) -> np.ndarray:
-    return img.astype(np.float32) / 255.0
+    return np.multiply(img, np.float32(1.0 / 255.0), dtype=np.float32)
 
 
 def _to_uint8(img: np.ndarray) -> np.ndarray:
-    return np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+    # one SIMD pass: saturate_cast(round(255·x)) — inputs are already ≥ 0
+    return cv2.convertScaleAbs(img, alpha=255.0)
+
+
+# The adjustments run on cv2 SIMD primitives, which also release the GIL —
+# numpy ufunc chains held it and serialized the thread-pool loader
+# (tools/bench_loader.py showed zero scaling across workers). The math is
+# identical to the previous numpy forms (torchvision blend semantics).
+
+_GRAY_W = np.array([[0.2989, 0.587, 0.114]], np.float32)
 
 
 def _gray(img: np.ndarray) -> np.ndarray:
-    return img @ np.array([0.2989, 0.587, 0.114], np.float32)
+    return cv2.transform(img, _GRAY_W)
+
+
+def _clip01(img: np.ndarray) -> np.ndarray:
+    # bare floats broadcast as Scalar(v,0,0,0) in cv2 — pass all channels
+    return cv2.min(cv2.max(img, (0.0, 0.0, 0.0, 0.0)), (1.0, 1.0, 1.0, 1.0))
 
 
 def adjust_brightness(img: np.ndarray, factor: float) -> np.ndarray:
-    return np.clip(img * factor, 0.0, 1.0)
+    f = float(factor)
+    return _clip01(cv2.addWeighted(img, f, img, 0.0, 0.0))
 
 
 def adjust_contrast(img: np.ndarray, factor: float) -> np.ndarray:
-    mean = _gray(img).mean()
-    return np.clip(factor * img + (1.0 - factor) * mean, 0.0, 1.0)
+    f = float(factor)
+    off = float((1.0 - f) * cv2.mean(_gray(img))[0])
+    return _clip01(cv2.addWeighted(img, f, img, 0.0, off))
 
 
 def adjust_saturation(img: np.ndarray, factor: float) -> np.ndarray:
-    gray = _gray(img)[..., None]
-    return np.clip(factor * img + (1.0 - factor) * gray, 0.0, 1.0)
+    f = float(factor)
+    gray3 = cv2.cvtColor(_gray(img), cv2.COLOR_GRAY2RGB)
+    return _clip01(cv2.addWeighted(img, f, gray3, 1.0 - f, 0.0))
 
 
 def adjust_hue(img: np.ndarray, shift: float) -> np.ndarray:
     """shift in [-0.5, 0.5] of a full hue revolution."""
     hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
     hsv[..., 0] = (hsv[..., 0] + shift * 360.0) % 360.0
-    return np.clip(cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB), 0.0, 1.0)
+    return _clip01(cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB))
 
 
 @PREPROCESS_REGISTRY.register()
