@@ -73,6 +73,12 @@ def assemble_cfg(args) -> CfgNode:
     if args.cfg:
         cfg.merge_from_file(args.cfg)
     if args.opts:
+        # argparse REMAINDER keeps a literal '--' separator; it's the one
+        # legitimate leading "flag-looking" token — strip it
+        opts = list(args.opts)
+        if opts and opts[0] == "--":
+            opts = opts[1:]
+        args.opts = opts
         flags = [o for o in args.opts if isinstance(o, str) and o.startswith("--")]
         if flags:
             # argparse REMAINDER swallows anything after the first KEY VALUE

@@ -26,28 +26,35 @@ from jax import export as jax_export
 
 from ..config import CfgNode
 from ..models import build_model
-from ..parallel import create_train_state
-from ..solver import build_optimizer
-from .checkpoint import Checkpointer
 
 logger = logging.getLogger(__name__)
 
 
-def build_inference_fn(cfg: CfgNode):
+def build_inference_fn(cfg: CfgNode, allow_random_init: bool = False):
     """(params, batch_stats, model) plus ``infer(img) -> depth`` closure,
-    weights restored from ``MODEL.WEIGHTS`` / ``OUTPUT_DIR``."""
-    model = build_model(cfg)
-    optimizer, _ = build_optimizer(cfg, steps_per_epoch=1)
+    weights restored from ``MODEL.WEIGHTS`` / ``OUTPUT_DIR``.
 
+    A serving export of untrained weights is almost always a config mistake
+    (typo'd checkpoint path), so a missing checkpoint raises unless
+    ``allow_random_init`` is set (tests / smoke exports)."""
+    from .runtime import restore_inference_state
+
+    model = build_model(cfg)
     H = int(cfg.DATASETS.TEST.IMG_HEIGHT)
     W = int(cfg.DATASETS.TEST.IMG_WIDTH)
     sample = {"img": np.zeros((1, H, W, 3), np.float32)}
-    state = create_train_state(
-        model, optimizer, sample, jax.random.PRNGKey(0), train=False
-    )
+    state, had_checkpoint = restore_inference_state(cfg, model, sample)
     ckpt_dir = str(cfg.MODEL.WEIGHTS) or cfg.OUTPUT_DIR
-    ckpt = Checkpointer(ckpt_dir)
-    state, _ = ckpt.resume_or_load("", state, resume=True)
+    if not had_checkpoint:
+        if not allow_random_init:
+            raise FileNotFoundError(
+                f"No checkpoint found under {ckpt_dir!r} (MODEL.WEIGHTS / "
+                "OUTPUT_DIR); refusing to export random-init weights. Pass "
+                "--allow-random-init / allow_random_init=True to override."
+            )
+        logger.warning(
+            f"No checkpoint under {ckpt_dir!r}: exporting RANDOM-INIT weights"
+        )
 
     params, batch_stats = state.params, state.batch_stats
 
@@ -66,10 +73,11 @@ def export_inference(
     output_path: str,
     batch: int = 1,
     shape: Optional[Tuple[int, int]] = None,
+    allow_random_init: bool = False,
 ) -> str:
     """Export the inference step to ``output_path`` (+ ``.json`` sidecar with
     the input spec). Returns the artifact path."""
-    infer, (H, W) = build_inference_fn(cfg)
+    infer, (H, W) = build_inference_fn(cfg, allow_random_init=allow_random_init)
     if shape is not None:
         H, W = shape
 

@@ -50,6 +50,28 @@ def _sample_batch_for_init(loader) -> Dict[str, np.ndarray]:
     return {k: v for k, v in batch.items() if hasattr(v, "shape")}
 
 
+def restore_inference_state(
+    cfg: CfgNode, model, sample_batch: Dict[str, np.ndarray], mesh=None
+):
+    """Shared inference-state recipe (DefaultPredictor, demo, export,
+    train_net --eval): init through the inference path, non-strict-restore
+    the latest checkpoint from ``MODEL.WEIGHTS`` (a checkpoint dir) falling
+    back to ``OUTPUT_DIR``, optionally place replicated on ``mesh``.
+
+    Returns ``(state, had_checkpoint)`` — callers decide whether a missing
+    checkpoint is a warning (demo) or an error (serving export)."""
+    optimizer, _ = build_optimizer(cfg, steps_per_epoch=1)
+    state = create_train_state(
+        model, optimizer, sample_batch, jax.random.PRNGKey(0), train=False
+    )
+    ckpt = Checkpointer(str(cfg.MODEL.WEIGHTS) or cfg.OUTPUT_DIR)
+    had_checkpoint = ckpt.has_checkpoint()
+    state, _ = ckpt.resume_or_load("", state, resume=True)
+    if mesh is not None:
+        state = place_replicated(state, mesh)
+    return state, had_checkpoint
+
+
 def device_prefetch(iterator, mesh, extra_batch_fn=None, start_step: int = 0, depth: int = 2):
     """Overlap host→device transfer with compute: device_put the next batches
     (sharded on the data axis) while the current step runs.

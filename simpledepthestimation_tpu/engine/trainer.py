@@ -214,13 +214,11 @@ class DefaultPredictor:
 
     def _ensure_state(self, batch):
         if self.state is None:
-            optimizer, _ = build_optimizer(self.cfg, steps_per_epoch=1)
-            state = create_train_state(
-                self.model, optimizer, batch, jax.random.PRNGKey(0), train=False
+            from .runtime import restore_inference_state
+
+            self.state, _ = restore_inference_state(
+                self.cfg, self.model, batch, mesh=self.mesh
             )
-            ckpt = Checkpointer(self.cfg.MODEL.WEIGHTS or self.cfg.OUTPUT_DIR)
-            state, _ = ckpt.resume_or_load("", state, resume=True)
-            self.state = place_replicated(state, self.mesh)
             self._eval_step = make_eval_step(self.model, self.mesh)
 
     def __call__(self, image: np.ndarray) -> np.ndarray:

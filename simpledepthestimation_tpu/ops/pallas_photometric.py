@@ -241,7 +241,10 @@ def photometric_map_fused(a, b, alpha: float = 0.85, C1: float = 1e-4, C2: float
     if jax.default_backend() != "tpu":
         return photometric_map_reference(a, b, alpha, C1, C2)
     if H * W > _MAX_PIXELS_FUSED:
-        if H % 32 == 0 and H >= 64:
+        # W must stay lane-aligned (hardware-verified at W multiples of 128;
+        # unaligned lane dims may be rejected by Mosaic at compile time
+        # rather than falling back)
+        if H % 32 == 0 and H >= 64 and W % 128 == 0:
             return _pallas_forward_tiled(a, b, alpha, C1, C2, tile_h=32)
         return photometric_map_reference(a, b, alpha, C1, C2)
     return _pallas_forward(a, b, alpha, C1, C2)

@@ -68,3 +68,16 @@ def test_flags_after_opts_clear_error():
     )
     with _pytest.raises(SystemExit, match="BEFORE the trailing"):
         assemble_cfg(args)
+
+
+def test_double_dash_separator_accepted():
+    """A literal '--' POSIX separator before the KEY VALUE overrides must
+    not trip the misplaced-flags guard."""
+    from simpledepthestimation_tpu.engine import default_argument_parser
+    from simpledepthestimation_tpu.engine.defaults import assemble_cfg
+
+    args = default_argument_parser().parse_args(
+        ["--cfg", "", "--resume", "--", "SOLVER.MAX_EPOCHS", "4"]
+    )
+    cfg = assemble_cfg(args)
+    assert cfg.SOLVER.MAX_EPOCHS == 4

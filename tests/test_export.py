@@ -28,11 +28,18 @@ def _cfg(tmp_path):
 
 def test_export_roundtrip(tmp_path, rng):
     cfg = _cfg(tmp_path)
-    # no checkpoint on disk: export proceeds from the (deterministic) init
-    path = export_inference(cfg, str(tmp_path / "model.shlo"))
+    # no checkpoint on disk: refuses by default (serving-safety), proceeds
+    # from the (deterministic) init only when explicitly allowed
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="random-init"):
+        export_inference(cfg, str(tmp_path / "model.shlo"))
+    path = export_inference(
+        cfg, str(tmp_path / "model.shlo"), allow_random_init=True
+    )
 
     img = rng.rand(1, 64, 96, 3).astype(np.float32)
-    infer, _ = build_inference_fn(cfg)
+    infer, _ = build_inference_fn(cfg, allow_random_init=True)
     live = np.asarray(jax.jit(infer)(img))
 
     served = load_exported(path)

@@ -82,11 +82,9 @@ def main():
             batch["img"] = batch["img"] / 255.0
 
         if state is None:
-            optimizer, _ = build_optimizer(cfg, steps_per_epoch=1)
-            state = create_train_state(model, optimizer, batch, jax.random.PRNGKey(0), train=False)
-            ckpt = Checkpointer(cfg.MODEL.WEIGHTS or cfg.OUTPUT_DIR)
-            state, _ = ckpt.resume_or_load("", state, resume=True)
-            state = place_replicated(state, mesh)
+            from simpledepthestimation_tpu.engine.runtime import restore_inference_state
+
+            state, _ = restore_inference_state(cfg, model, batch, mesh=mesh)
             eval_step = make_eval_step(model, mesh)
 
         pred = np.asarray(eval_step(state, batch))[0, ..., 0]

@@ -24,13 +24,20 @@ def main():
     p.add_argument("--cfg", required=True)
     p.add_argument("--output", required=True, help="artifact path (e.g. model.shlo)")
     p.add_argument("--batch", type=int, default=1)
+    p.add_argument(
+        "--allow-random-init", action="store_true",
+        help="export even when no checkpoint is found (smoke testing)",
+    )
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     args = p.parse_args()
     args.resume = False
 
     cfg = assemble_cfg(args)
     default_setup(cfg, args)
-    path = export_inference(cfg, args.output, batch=args.batch)
+    path = export_inference(
+        cfg, args.output, batch=args.batch,
+        allow_random_init=args.allow_random_init,
+    )
     print(f"exported: {path}")
 
 

@@ -39,15 +39,13 @@ def main():
         from simpledepthestimation_tpu.engine.checkpoint import Checkpointer
         from simpledepthestimation_tpu.engine.runtime import build_mesh_from_cfg
 
+        from simpledepthestimation_tpu.engine.runtime import restore_inference_state
+
         mesh = build_mesh_from_cfg(cfg)
         model = build_model(cfg)
         loader = build_test_loader(cfg)
         sample = {k: v for k, v in next(iter(loader)).items() if hasattr(v, "shape")}
-        optimizer, _ = build_optimizer(cfg, steps_per_epoch=1)
-        state = create_train_state(model, optimizer, sample, jax.random.PRNGKey(0), train=False)
-        ckpt = Checkpointer(cfg.MODEL.WEIGHTS or cfg.OUTPUT_DIR)
-        state, _ = ckpt.resume_or_load("", state, resume=True)
-        state = place_replicated(state, mesh)
+        state, _ = restore_inference_state(cfg, model, sample, mesh=mesh)
         results = DefaultTrainer.test(cfg, state, mesh=mesh, model=model)
         print(results)
         return results
