@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Per-model-family train-step throughput on the chip (full fwd+bwd+Adam,
+chunk-synced like bench.py). Shapes match the hardware-verified CLI drives,
+so warm compile-cache runs are fast.
+
+Prints one line per family: images/sec/chip at the stated shape.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+CASES = [
+    # (name, meta_arch, depth_net kwargs, pose?, B, H, W)
+    ("Supervised-R18", "SupDepthModel", {"NAME": "DepthResNet", "ENCODER_NAME": "18"}, False, 8, 192, 640),
+    ("BTS-R50", "SupDepthModel", {"NAME": "BtsModel", "ENCODER_NAME": "resnet50_bts"}, False, 8, 192, 640),
+    ("MonoDepth2-R18", "MonoDepth2Model", {"NAME": "DepthResNet", "ENCODER_NAME": "18"}, True, 24, 192, 640),
+    ("PackNet-1A", "MonoDepth2Model", {"NAME": "PackNet01", "VERSION": "1A"}, True, 8, 96, 320),
+    ("MotionLearning-R18", "MotionLearningModel",
+     {"NAME": "GoogleResNet", "ENCODER_NAME": "18", "NORM": "randLN", "NOISE_STDDEV": 0.5,
+      "RAMPUP_ITERS": 100, "UPSAMPLE_DEPTH": False, "LEARN_SCALE": False},
+     "motion", 8, 128, 416),
+]
+
+
+def bench_case(name, meta, dn, pose, B, H, W):
+    import jax
+    import jax.numpy as jnp
+
+    from simpledepthestimation_tpu.config import CfgNode, get_cfg
+    from simpledepthestimation_tpu.models import build_model
+    from simpledepthestimation_tpu.parallel import (
+        build_mesh, create_train_state, make_train_step, data_sharding,
+    )
+    from simpledepthestimation_tpu.solver import build_optimizer
+
+    cfg = get_cfg()
+    cfg.MODEL.META_ARCHITECTURE = meta
+    for k, v in dn.items():
+        cfg.MODEL.DEPTH_NET[k] = v
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16" if jax.default_backend() == "tpu" else "float32"
+    loss = cfg.LOSS
+    loss.VARIANCE_FOCUS = 0.85
+    extra_keys = ()
+    if pose == "motion":
+        cfg.MODEL.POSE_NET.NAME = "GoogleMotionNet"
+        cfg.MODEL.POSE_NET.USE_DEPTH = True
+        cfg.MODEL.POSE_NET.MASK_MOTION = True
+        cfg.MODEL.POSE_NET.LEARN_SCALE = True
+        cfg.MODEL.POSE_NET.SCALE_CONSTRAIN = "clip_ste"
+        cfg.MODEL.POSE_NET.BURN_IN_ITERS = 20
+        loss.NUM_SCALES = 1
+        loss.SSIM_WEIGHT = 3.0
+        loss.C1 = float("inf")
+        loss.C2 = 9e-6
+        loss.CLIP = 0.0
+        loss.MOTION_SMOOTHNESS_WEIGHT = 1.0
+        loss.MOTION_SPARSITY_WEIGHT = 0.2
+        loss.ROT_CYCLE_WEIGHT = 1e-3
+        loss.TRANS_CYCLE_WEIGHT = 5e-2
+        loss.SMOOTHNESS_WEIGHT = 0.001
+        extra_keys = ("noise_stddev", "motion_weight")
+    elif pose:
+        cfg.MODEL.POSE_NET.NAME = "PoseNet"
+        cfg.MODEL.POSE_NET.NUM_CONTEXTS = 2
+        loss.SSIM_WEIGHT = 0.85
+        loss.C1, loss.C2, loss.CLIP = 1e-4, 9e-4, 0.0
+        loss.AUTOMASK = True
+        loss.SMOOTHNESS_WEIGHT = 0.001
+        loss.PHOTOMETRIC_REDUCE = "min"
+
+    rng = np.random.RandomState(0)
+    K = np.tile(
+        np.array([[[500.0, 0, W / 2], [0, 500.0, H / 2], [0, 0, 1]]], np.float32),
+        (B, 1, 1),
+    )
+    batch = {
+        "img": rng.rand(B, H, W, 3).astype(np.float32),
+        "intrinsics": K,
+    }
+    if meta == "SupDepthModel":
+        batch["depth"] = (rng.rand(B, H, W, 1) * 60).astype(np.float32)
+    else:
+        n_ctx = 2 if pose is True else 1
+        batch["img_orig"] = batch["img"].copy()
+        batch["ctx_img"] = rng.rand(B, n_ctx, H, W, 3).astype(np.float32)
+        batch["ctx_img_orig"] = batch["ctx_img"].copy()
+        batch["flip"] = np.zeros((B,), bool)
+    if pose == "motion":
+        batch["noise_stddev"] = np.float32(0.1)
+        batch["motion_weight"] = np.float32(1.0)
+
+    model = build_model(cfg)
+    optimizer, _ = build_optimizer(cfg, steps_per_epoch=100)
+    mesh = build_mesh(("data",), (len(jax.devices()),))
+    state = create_train_state(model, optimizer, batch, jax.random.PRNGKey(0))
+    step = make_train_step(model, optimizer, mesh, donate=True, extra_scalar_keys=extra_keys)
+    from simpledepthestimation_tpu.parallel.mesh import replicated
+
+    dsh = data_sharding(mesh)
+    rep = replicated(mesh)
+    dev = {
+        k: jax.device_put(v, dsh if np.ndim(v) >= 1 else rep)
+        for k, v in batch.items()
+    }
+    key = jax.random.PRNGKey(7)
+
+    for i in range(5):
+        state, m = step(state, dev, jax.random.fold_in(key, i))
+    jax.block_until_ready(m["total_loss"])
+    n = 0
+    t0 = time.perf_counter()
+    for c in range(6):
+        for i in range(5):
+            state, m = step(state, dev, jax.random.fold_in(key, 100 + n))
+            n += 1
+        jax.block_until_ready(m["total_loss"])
+    dt = time.perf_counter() - t0
+    print(f"{name:<20} B={B:<3} {H}x{W}:  {B * n / dt:7.1f} img/s/chip")
+
+
+def main():
+    from simpledepthestimation_tpu.engine.defaults import enable_compilation_cache
+
+    enable_compilation_cache()
+    for case in CASES:
+        bench_case(*case)
+
+
+if __name__ == "__main__":
+    main()
