@@ -95,6 +95,9 @@ def main():
                 "value": round(per_chip, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(per_chip / target_per_chip, 3),
+                "baseline": "assumed 30 img/s 2-GPU reference total; "
+                "target = 3x30/8 = 11.25 img/s/chip (no published "
+                "reference throughput exists)",
             }
         )
     )

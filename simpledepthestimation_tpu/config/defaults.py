@@ -91,6 +91,14 @@ _C.TPU.DONATE = True
 # Use jax.checkpoint (remat) on encoder blocks to trade FLOPs for HBM.
 _C.TPU.REMAT = False
 
+# Strict reference-parity mode: restores reference behaviors behind our
+# intentional divergences so a metric gap can be bisected — batch-level flip
+# taken from sample 0 (reference data/datasets/kitti_v2.py:219) and a
+# synchronous per-step NaN check (reference engine/train_loop.py:283-287)
+# instead of the deferred watchdog.
+_C.PARITY = CN()
+_C.PARITY.STRICT = False
+
 _C.OUTPUT_DIR = "./output"
 _C.SEED = -1
 _C.VIS_PERIOD = 0

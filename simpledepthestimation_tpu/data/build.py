@@ -40,6 +40,11 @@ class DatasetBase:
         self.preprocesses = [
             build_preprocess(p) for p in dataset_cfg.get("PREPROCESS", [])
         ]
+        # PARITY.STRICT: reference collator takes `flip` from sample 0 for
+        # the whole batch (reference data/datasets/kitti_v2.py:219); our
+        # default is per-sample flip (a divergence that improves batch
+        # diversity but must be switchable to bisect metric gaps)
+        self.strict_parity = bool(cfg.get("PARITY", {}).get("STRICT", False))
 
     def __len__(self) -> int:
         raise NotImplementedError
@@ -82,7 +87,11 @@ class DatasetBase:
             elif key in ("intrinsics", "pose_gt"):
                 out[key] = np.stack(vals).astype(np.float32)
             elif key == "flip":
-                out[key] = np.asarray(vals, dtype=bool)
+                if self.strict_parity:
+                    # batch-level flip from sample 0 (reference kitti_v2.py:219)
+                    out[key] = np.full((len(vals),), bool(vals[0]), dtype=bool)
+                else:
+                    out[key] = np.asarray(vals, dtype=bool)
             else:
                 out[key] = vals  # metadata & friends stay host-side lists
         return out

@@ -64,7 +64,11 @@ class Checkpointer:
                 )
                 logger.info(f"Resumed from checkpoint epoch {step}")
                 return restored["state"], int(restored["meta"]["epoch"]) + 1
-            except Exception as e:
+            except (ValueError, KeyError, TypeError) as e:
+                # tree/structure mismatch (e.g. --eval init lacking pose_net):
+                # fall back to an intersection restore. I/O faults or
+                # corruption raise other types and propagate — silently
+                # resetting optimizer state mid-resume would alter training.
                 logger.warning(
                     "Strict checkpoint restore failed "
                     f"({type(e).__name__}); retrying as a partial "
@@ -150,15 +154,18 @@ def load_weights(path: str, state: TrainState) -> TrainState:
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     template = {"state": state, "meta": {"epoch": 0}}
+    # weights-only load: the partial/intersection path is acceptable here
+    # (unlike resume, there is no optimizer state to silently reset), but
+    # I/O faults (missing dir, unreadable files) still propagate.
     try:
         restored = ckptr.restore(path, template)
         new_state = restored["state"]
-    except Exception:
+    except (ValueError, KeyError, TypeError):
         try:
             # maybe it's a bare state directory
             restored = ckptr.restore(path, state)
             new_state = restored
-        except Exception:
+        except (ValueError, KeyError, TypeError):
             raw = ckptr.restore(path)
             logger.warning(
                 "Strict weights load failed; using partial (intersection) load"

@@ -111,8 +111,12 @@ def device_prefetch(iterator, mesh, extra_batch_fn=None, start_step: int = 0, de
         yield queue.popleft()
 
 
-def do_test(cfg: CfgNode, state=None, mesh=None, model=None) -> Dict:
-    """Evaluate: reference projects/Supervised/train.py:62-67 + §3.3."""
+def do_test(cfg: CfgNode, state=None, mesh=None, model=None, eval_step=None) -> Dict:
+    """Evaluate: reference projects/Supervised/train.py:62-67 + §3.3.
+
+    Pass ``eval_step`` (from ``make_eval_step``) to reuse one compiled
+    executable across periodic evals — otherwise each call builds a fresh
+    jitted step (mitigated only by the on-disk compile cache)."""
     mesh = mesh or build_mesh_from_cfg(cfg)
     model = model or build_model(cfg)
 
@@ -134,7 +138,8 @@ def do_test(cfg: CfgNode, state=None, mesh=None, model=None) -> Dict:
         state, _ = ckpt.resume_or_load(cfg.MODEL.WEIGHTS, state, resume=True)
         state = place_replicated(state, mesh)
 
-    eval_step = make_eval_step(model, mesh)
+    if eval_step is None:
+        eval_step = make_eval_step(model, mesh)
 
     def eval_fn(inputs):
         batch = {k: v for k, v in inputs.items() if hasattr(v, "shape")}
@@ -245,7 +250,16 @@ def do_train(
     vis_period = int(cfg.get("VIS_PERIOD", 0))
     vis_step = make_eval_step(model, mesh) if vis_period > 0 else None
 
+    # one compiled eval executable shared across every periodic eval
+    shared_eval_step = make_eval_step(model, mesh) if eval_period > 0 else None
+
     base_key = jax.random.PRNGKey(seed + 777)
+
+    # PARITY.STRICT: synchronous per-step finite-loss check (reference
+    # engine/train_loop.py:283-287) instead of the deferred watchdog —
+    # costs a device sync per step, but aborts on the exact step like the
+    # reference when bisecting a metric gap.
+    strict_parity = bool(cfg.get("PARITY", {}).get("STRICT", False))
 
     logger.info(f"Starting training from epoch {start_epoch}")
     with EventStorage(start_epoch * steps_per_epoch) as storage:
@@ -282,7 +296,7 @@ def do_train(
                 step_key = jax.random.fold_in(base_key, step)
                 state, metrics = train_step(state, batch, step_key)
                 pending.append((step, data_time, metrics))
-                drain()
+                drain(all_=strict_parity)
 
                 step += 1
                 storage.iter = step
@@ -303,7 +317,10 @@ def do_train(
             periodic_ckpt.step(epoch, state)
 
             if eval_period > 0 and (epoch + 1) % eval_period == 0:
-                results = do_test(cfg, state=state, mesh=mesh, model=model)
+                results = do_test(
+                    cfg, state=state, mesh=mesh, model=model,
+                    eval_step=shared_eval_step,
+                )
                 if results and comm.is_main_process():
                     flat = {
                         f"{task}/{k}": float(v)

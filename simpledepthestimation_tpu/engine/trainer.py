@@ -85,6 +85,7 @@ class DefaultTrainer(SimpleTrainer):
         def wrapped_step(state, batch, it):
             return step_fn(state, batch, jax.random.fold_in(base_key, it))
 
+        self._eval_step = None  # lazily built, shared across periodic evals
         super().__init__(wrapped_step, epoch_iter(), state)
         self.register_hooks(self.build_hooks())
 
@@ -144,19 +145,27 @@ class DefaultTrainer(SimpleTrainer):
         return ret
 
     def _eval(self) -> Dict:
-        return self.test(self.cfg, self.state, mesh=self.mesh, model=self.model)
+        # reuse one compiled eval executable across periodic evals (the
+        # same _eval_step the VIS_PERIOD hook uses)
+        if self._eval_step is None:
+            self._eval_step = make_eval_step(self.model, self.mesh)
+        return self.test(
+            self.cfg, self.state, mesh=self.mesh, model=self.model,
+            eval_step=self._eval_step,
+        )
 
     def train(self):
         super().train(self.start_epoch * self.steps_per_epoch, self._max_iter)
 
     @classmethod
-    def test(cls, cfg, state, mesh=None, model=None) -> Dict:
+    def test(cls, cfg, state, mesh=None, model=None, eval_step=None) -> Dict:
         mesh = mesh or build_mesh_from_cfg(cfg)
         model = model or build_model(cfg)
         loader = build_test_loader(cfg)
         if loader is None:
             return {}
-        eval_step = make_eval_step(model, mesh)
+        if eval_step is None:
+            eval_step = make_eval_step(model, mesh)
 
         def eval_fn(inputs):
             batch = {k: v for k, v in inputs.items() if hasattr(v, "shape")}

@@ -50,7 +50,8 @@ def compute_errors(gt: np.ndarray, pred: np.ndarray) -> Tuple[float, ...]:
     sq_rel = float(np.mean(((gt - pred) ** 2) / gt))
 
     err = np.log(pred) - np.log(gt)
-    silog = float(np.sqrt(np.mean(err**2) - np.mean(err) ** 2 + 1e-8) * 100)
+    # clamp: the variance can go infinitesimally negative on tiny valid sets
+    silog = float(np.sqrt(max(np.mean(err**2) - np.mean(err) ** 2, 0.0) + 1e-8) * 100)
     log10 = float(np.mean(np.abs(np.log10(pred) - np.log10(gt))))
 
     return silog, log10, abs_rel, sq_rel, rms, log_rms, d1, d2, d3

@@ -55,7 +55,7 @@ class AtrousConv(nn.Module):
         d = self.dilation
         return nn.Conv(
             self.out_channels, (3, 3), padding=[(d, d), (d, d)],
-            kernel_dilation=(d, d), dtype=self.dtype, name="conv2",
+            kernel_dilation=(d, d), use_bias=False, dtype=self.dtype, name="conv2",
         )(x)
 
 

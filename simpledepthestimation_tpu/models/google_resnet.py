@@ -61,12 +61,18 @@ class NormBasicBlock(nn.Module):
             self.planes, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name="conv2"
         )(out)
         out = _Norm(self.norm, name="n2")(out, train, stddev)
-        if self.stride != 1 or x.shape[-1] != self.planes:
+        # ResNetTF downsample (reference layers/resnet.py:35-57): a bare
+        # conv1x1 on channel mismatch (NO norm, unlike torchvision), maxpool
+        # on a pure stride change
+        if x.shape[-1] != self.planes:
             identity = nn.Conv(
                 self.planes, (1, 1), strides=(self.stride, self.stride),
                 use_bias=False, dtype=self.dtype, name="down_conv",
             )(x)
-            identity = _Norm(self.norm, name="down_n")(identity, train, stddev)
+        elif self.stride != 1:
+            identity = nn.max_pool(
+                x, (self.stride, self.stride), strides=(self.stride, self.stride)
+            )
         return nn.relu(out + identity)
 
 
@@ -88,12 +94,17 @@ class NormBottleneck(nn.Module):
         out = nn.relu(_Norm(self.norm, name="n2")(out, train, stddev))
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(out)
         out = _Norm(self.norm, name="n3")(out, train, stddev)
-        if self.stride != 1 or x.shape[-1] != self.planes * 4:
+        # ResNetTF downsample: bare conv1x1 (no norm) / maxpool — see
+        # NormBasicBlock
+        if x.shape[-1] != self.planes * 4:
             identity = nn.Conv(
                 self.planes * 4, (1, 1), strides=(self.stride, self.stride),
                 use_bias=False, dtype=self.dtype, name="down_conv",
             )(x)
-            identity = _Norm(self.norm, name="down_n")(identity, train, stddev)
+        elif self.stride != 1:
+            identity = nn.max_pool(
+                x, (self.stride, self.stride), strides=(self.stride, self.stride)
+            )
         return nn.relu(out + identity)
 
 

@@ -82,8 +82,8 @@ class ConvGNReLU(nn.Module):
             name="conv",
         )(x)
         if self.group_norm:
-            # fp32 norm for stability under bf16 compute
-            x = nn.GroupNorm(num_groups=16, dtype=jnp.float32, name="gn")(x)
+            # fp32 norm for stability under bf16 compute; eps matches torch
+            x = nn.GroupNorm(num_groups=16, epsilon=1e-5, dtype=jnp.float32, name="gn")(x)
         return nn.relu(x)
 
 
@@ -91,12 +91,14 @@ class RandLayerNorm(nn.Module):
     """Per-channel layer norm with multiplicatively-noised statistics
     (reference detectron2/layers/layer_norm.py:7-33).
 
-    During training, mean and variance are each scaled by (1 + N(0, stddev))
-    with *detached* statistics; ``stddev`` arrives as a traced scalar (the
-    MotionLearning noise ramp), not module state.
+    During training, mean and variance are each scaled by
+    ``1 + fmod(N(0, stddev), 2·stddev)`` with *detached* statistics
+    (reference layer_norm.py:28-29); ``stddev`` arrives as a traced scalar
+    (the MotionLearning noise ramp), not module state. Statistics use the
+    unbiased variance and eps 1e-3, matching the reference defaults.
     """
 
-    epsilon: float = 1e-5
+    epsilon: float = 1e-3
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -112,15 +114,16 @@ class RandLayerNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (C,))
 
         mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True, ddof=1)
         mean = jax.lax.stop_gradient(mean)
         var = jax.lax.stop_gradient(var)
 
         if train and rng is not None:
             noise_m = jax.random.normal(jax.random.fold_in(rng, 0), mean.shape, x.dtype)
             noise_v = jax.random.normal(jax.random.fold_in(rng, 1), var.shape, x.dtype)
-            mean = mean * (1.0 + noise_m * stddev)
-            var = var * (1.0 + noise_v * stddev)
+            two_sig = stddev * 2.0
+            mean = mean * (1.0 + jnp.fmod(noise_m * stddev, two_sig))
+            var = var * (1.0 + jnp.fmod(noise_v * stddev, two_sig))
 
         inv = jax.lax.rsqrt(var + self.epsilon)
         return (x - mean) * inv * scale + bias

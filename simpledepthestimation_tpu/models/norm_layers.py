@@ -6,10 +6,14 @@ conv_tf.py:1-66:
 - ``FrozenBatchNorm``: BN with fixed affine+statistics (never updated),
   used to freeze pretrained encoder stats (BTS BN_NO_TRACK option).
 - ``SyncBatchNorm``: cross-replica BN — the NaiveSyncBatchNorm analog.
-  Under SPMD jit the batch axis is sharded over the 'data' mesh axis, so a
-  plain ``nn.BatchNorm`` with ``axis_name='data'`` already all-reduces the
-  statistics (what took a custom autograd AllReduce in torch is one
-  argument here). Provided as a thin preconfigured wrapper.
+  Under the SPMD jit train step (parallel/train_step.py) the batch axis is
+  sharded over the 'data' mesh axis but the program is written *globally*:
+  a plain ``nn.BatchNorm``'s batch-mean IS the global-batch mean, and XLA
+  derives the cross-device all-reduce from the shardings. What took a
+  custom autograd AllReduce in torch (batch_norm.py:158-245) is the
+  default semantics here — verified by the 8-device stat-equality test in
+  tests/test_parallel.py. ``axis_name`` is accepted only for shard_map /
+  pmap contexts where a collective axis is actually bound.
 - ``get_norm``: string → constructor dispatch (reference batch_norm.py:130-155).
 - ``conv_same_padding``: TF 'SAME' asymmetric padding helper (the Conv2dTF
   family) for TF-checkpoint-compatible stacks.
@@ -45,8 +49,14 @@ class FrozenBatchNorm(nn.Module):
         return x * inv + (bias - mean.value * inv)
 
 
-def SyncBatchNorm(train: bool, axis_name: str = "data", **kwargs) -> nn.BatchNorm:
-    """Cross-replica BatchNorm: statistics all-reduced over the mesh axis."""
+def SyncBatchNorm(train: bool, axis_name: Optional[str] = None, **kwargs) -> nn.BatchNorm:
+    """Cross-replica BatchNorm.
+
+    Inside the SPMD jit train step, global-batch statistics (= sync-BN
+    semantics) are the default — XLA inserts the cross-device reduction
+    from the data sharding, so no axis name is needed (and none is bound).
+    Pass ``axis_name`` only under shard_map/pmap, where the named axis
+    exists and flax's psum-based reduction applies."""
     return nn.BatchNorm(
         use_running_average=not train,
         momentum=kwargs.pop("momentum", 0.9),

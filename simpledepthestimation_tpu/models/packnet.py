@@ -63,7 +63,8 @@ class Conv2D(nn.Module):
             kernel_init=nn.initializers.xavier_uniform(),
             name="conv",
         )(x)
-        x = nn.GroupNorm(num_groups=16, dtype=jnp.float32, name="gn")(x)
+        # torch GroupNorm eps default (flax defaults to 1e-6)
+        x = nn.GroupNorm(num_groups=16, epsilon=1e-5, dtype=jnp.float32, name="gn")(x)
         return nn.elu(x)
 
 
@@ -86,7 +87,9 @@ class ResidualConv(nn.Module):
             kernel_init=nn.initializers.xavier_uniform(),
             name="conv3",
         )(x)
-        summed = nn.GroupNorm(num_groups=16, dtype=jnp.float32, name="gn")(out + shortcut)
+        summed = nn.GroupNorm(num_groups=16, epsilon=1e-5, dtype=jnp.float32, name="gn")(
+            out + shortcut
+        )
         return nn.elu(summed)
 
 
@@ -124,7 +127,11 @@ def _conv3d_over_packed(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) 
 
     Equivalent role to reference layers01.py:252-257 / 292-296 (torch
     ``Conv3d(1, d, 3)`` over [B,1,C,H,W]).
-    kernel: [3,3,3,1,d]; returns the depth axis folded back into channels.
+    kernel: [3,3,3,1,d]; returns the depth axis folded back into channels
+    d-major (channel = d_idx·C + c_idx), matching the torch
+    ``view(b, c*d, h, w)`` flatten so converted reference weights (and the
+    fixed-function PixelShuffle consumer in the unpack layer) line up
+    exactly.
     """
     B, H, W, C = x.shape
     vol = x.transpose(0, 3, 1, 2)[..., None]  # [B, D=C, H, W, 1]
@@ -137,8 +144,8 @@ def _conv3d_over_packed(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) 
     )
     out = out + bias
     d = kernel.shape[-1]
-    # [B, C, H, W, d] → [B, H, W, C·d]
-    return out.transpose(0, 2, 3, 1, 4).reshape(B, H, W, C * d)
+    # [B, C, H, W, d] → [B, H, W, d·C] (d-major, torch flatten order)
+    return out.transpose(0, 2, 3, 4, 1).reshape(B, H, W, d * C)
 
 
 class PackLayerConv3d(nn.Module):

@@ -3,8 +3,11 @@
 Behavioral equivalent of reference detectron2/layers/resnet_encoder.py:61-99
 (a torchvision ResNet-18/34/50 trunk tapped at conv1, layer1..layer4), built
 NHWC for TPU. Same channel schedule: [64, 64, 128, 256, 512] (×4 from layer1
-up for Bottleneck nets). BatchNorm uses per-replica statistics (matching the
-reference's DDP broadcast_buffers=False); see SURVEY.md §7.
+up for Bottleneck nets). Under the SPMD jit train step BatchNorm statistics
+are global-batch (GSPMD writes the program globally and XLA inserts the
+cross-device reduction) — i.e. sync-BN semantics, a superset of the
+reference's per-replica DDP BN (broadcast_buffers=False); see
+models/norm_layers.py and the 8-device stat test in tests/test_parallel.py.
 
 ImageNet-pretrained initialization is loaded from a converted checkpoint via
 ``simpledepthestimation_tpu.models.pretrained`` when the version carries the

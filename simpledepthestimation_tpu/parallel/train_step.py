@@ -57,18 +57,15 @@ def make_train_step(
     donate: bool = True,
     grad_clip: float = 0.0,
     remat: bool = False,
-    extra_scalar_keys: Tuple[str, ...] = (),
 ):
     """Build the jitted SPMD train step.
 
     Returned fn: ``(state, batch, step_rng) -> (state, metrics)`` where batch
     is data-sharded and metrics is a dict of replicated scalars (total loss,
-    each loss term, grad norm).
-
-    ``extra_scalar_keys`` names batch entries that are per-step scalars
-    (schedules such as the MotionLearning noise stddev / motion burn-in
-    weight — reference projects/MotionLearning/train.py:105-114 — passed as
-    traced inputs instead of module mutation).
+    each loss term, grad norm). Per-step scalar schedules (MotionLearning
+    noise stddev / motion burn-in weight — reference
+    projects/MotionLearning/train.py:105-114) ride in the batch dict as
+    traced scalars; ``batch_sharding`` replicates them automatically.
     """
 
     def apply_model(params, batch_stats, batch, step_rng):
@@ -154,9 +151,15 @@ def make_train_step(
 def make_eval_step(model, mesh):
     """Jitted eval forward: ``(state, batch) -> depth_pred``.
 
-    Fully replicated (eval batch size is 1 — reference data/build.py:130-132 —
-    so there is no batch dim to shard)."""
+    Batched eval (``TEST.IMS_PER_BATCH`` ≥ mesh size) shards the batch over
+    the data axis so every chip computes its shard; the reference's bs=1
+    protocol (reference data/build.py:130-132) falls back to replicated
+    execution. One compiled executable is cached per batch structure
+    (exposed as ``run.cache``), so periodic eval across epochs and repeated
+    ``do_test`` calls reuse the same executable without retracing."""
     rep = replicated(mesh)
+    dsh = data_sharding(mesh)
+    n = mesh.shape.get("data", 1)
 
     def eval_fn(params, batch_stats, batch):
         variables = {"params": params}
@@ -165,11 +168,20 @@ def make_eval_step(model, mesh):
         out = model.apply(variables, batch, train=False)
         return out["depth_pred"]
 
-    jitted = jax.jit(eval_fn, out_shardings=rep)
+    cache: Dict[Tuple, Callable] = {}
 
     def run(state: TrainState, batch):
-        return jitted(state.params, state.batch_stats, batch)
+        batch = {k: v for k, v in batch.items() if hasattr(v, "shape")}
+        key = tuple(sorted((k, tuple(v.shape), str(v.dtype)) for k, v in batch.items()))
+        if key not in cache:
+            bsh = {
+                k: (dsh if (v.ndim >= 1 and v.shape[0] % n == 0) else rep)
+                for k, v in batch.items()
+            }
+            cache[key] = jax.jit(eval_fn, in_shardings=(rep, rep, bsh))
+        return cache[key](state.params, state.batch_stats, batch)
 
+    run.cache = cache
     return run
 
 

@@ -247,6 +247,32 @@ def test_train_loader_batches():
     assert b["img"].dtype == np.float32
 
 
+def test_strict_parity_batch_level_flip():
+    """PARITY.STRICT reproduces the reference collator semantics: the whole
+    batch takes sample 0's flip flag (reference data/datasets/kitti_v2.py:219)
+    instead of our per-sample flip vector."""
+    cfg = _synthetic_cfg()
+    cfg.PARITY.STRICT = True
+    loader = build_train_loader(cfg, seed=0)
+    saw_flip = saw_noflip = False
+    for b in loader:
+        flips = np.asarray(b["flip"])
+        assert flips.dtype == bool and flips.shape == (4,)
+        # batch-level: every sample carries the same flag
+        assert np.all(flips == flips[0])
+        saw_flip |= bool(flips[0])
+        saw_noflip |= not bool(flips[0])
+
+    # default mode on the same seed produces a per-sample (mixed) vector in
+    # at least one batch
+    cfg2 = _synthetic_cfg()
+    loader2 = build_train_loader(cfg2, seed=0)
+    mixed = any(
+        (lambda f: f.any() and not f.all())(np.asarray(b["flip"])) for b in loader2
+    )
+    assert mixed, "expected a mixed per-sample flip vector in default mode"
+
+
 def test_train_loader_deterministic():
     cfg = _synthetic_cfg()
     l1 = build_train_loader(cfg, seed=5)

@@ -103,6 +103,86 @@ def test_grad_clip(rng):
     assert np.isfinite(float(metrics["total_loss"]))
 
 
+def test_eval_step_sharded_batched_and_cached(rng):
+    """Batched eval must (a) shard the batch over the data axis, (b) produce
+    outputs equal to the bs=1 protocol per sample, and (c) reuse one
+    compiled executable per batch structure across repeated calls
+    (VERDICT r1 item 5: no retrace on periodic eval)."""
+    cfg = _cfg()
+    model = build_model(cfg)
+    optimizer, _ = build_optimizer(cfg, steps_per_epoch=10)
+    batch = _batch(rng)
+    state = create_train_state(model, optimizer, batch, jax.random.PRNGKey(0))
+    mesh = build_mesh(("data",), (8,))
+    eval_step = make_eval_step(model, mesh)
+
+    img8 = batch["img"]
+    out8 = eval_step(state, {"img": img8})
+    assert len(out8.sharding.device_set) == 8, "batched eval left chips idle"
+
+    for i in range(8):
+        out1 = eval_step(state, {"img": img8[i : i + 1]})
+        np.testing.assert_allclose(
+            np.asarray(out8[i]), np.asarray(out1[0]), rtol=1e-5, atol=1e-5
+        )
+
+    n_compiled = len(eval_step.cache)
+    assert n_compiled == 2  # one per batch structure (B=8 and B=1)
+    eval_step(state, {"img": img8})
+    eval_step(state, {"img": img8[:1]})
+    assert len(eval_step.cache) == n_compiled  # no retrace on reuse
+
+
+def test_sync_bn_global_stats_in_spmd_step(rng):
+    """SyncBatchNorm (get_norm('SyncBN')) must work inside the
+    jit-with-shardings step — no named axis exists there — and must compute
+    GLOBAL-batch statistics: GSPMD writes the program globally, so the batch
+    mean over a data-sharded axis all-reduces across devices
+    (NaiveSyncBatchNorm semantics, reference batch_norm.py:158-245)."""
+    import flax.linen as nn
+    from simpledepthestimation_tpu.models.norm_layers import get_norm
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=True):
+            x = nn.Conv(8, (3, 3), padding=1, name="conv")(x)
+            return get_norm("SyncBN", train)("bn")(x)
+
+    model = Tiny()
+    x = rng.rand(16, 8, 8, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
+
+    mesh = build_mesh(("data",), (8,))
+    dsh = data_sharding(mesh)
+    rep = replicated(mesh)
+
+    @jax.jit
+    def step(variables, x):
+        out, mut = model.apply(variables, x, train=True, mutable=["batch_stats"])
+        return out, mut["batch_stats"]
+
+    x_sharded = jax.device_put(jnp.asarray(x), dsh)
+    variables = jax.device_put(variables, rep)
+    out, new_stats = step(variables, x_sharded)
+
+    # oracle: global-batch statistics of the conv output on one device
+    conv = nn.Conv(8, (3, 3), padding=1)
+    conv_out = conv.apply({"params": variables["params"]["conv"]}, jnp.asarray(x))
+    g_mean = np.mean(np.asarray(conv_out), axis=(0, 1, 2))
+    g_var = np.var(np.asarray(conv_out), axis=(0, 1, 2))
+
+    # flax BN EMA: new = m*old + (1-m)*batch, init stats are (0, 1), m=0.9
+    np.testing.assert_allclose(
+        np.asarray(new_stats["bn"]["mean"]), 0.1 * g_mean, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_stats["bn"]["var"]), 0.9 * 1.0 + 0.1 * g_var, rtol=1e-5, atol=1e-6
+    )
+    # and the normalized output itself matches the global-stat normalization
+    ref_out = (np.asarray(conv_out) - g_mean) / np.sqrt(g_var + 1e-5)
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=1e-4, atol=1e-5)
+
+
 def test_precise_bn_true_average(rng):
     """compute_precise_bn_stats must return the exact mean of per-batch
     statistics (reference PreciseBN / fvcore update_bn_stats semantics,

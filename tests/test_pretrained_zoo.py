@@ -193,7 +193,7 @@ def test_mobilenetv2_convert_inject_stem_parity(rng, tmp_path):
         sd["features.1.conv.2.weight"], sd["features.1.conv.2.bias"],
         training=False, eps=1e-5,
     )
-    # ir1 output parity: the encoder only exposes tap indices 2/4/7/11/19,
+    # ir1 output parity: the encoder only exposes tap indices 1/3/6/10/18,
     # so rebuild stem+ir1 with the converted params and compare numerically
     import flax.linen as fnn
 

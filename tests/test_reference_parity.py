@@ -1,0 +1,682 @@
+"""Full-model numerical parity vs the reference's own PyTorch code.
+
+The only end-to-end accuracy evidence obtainable in this environment (no
+KITTI data, no egress): import the reference modules from /root/reference
+(via tests/reference_compat.py stubs), give them seeded random weights,
+convert those exact weights into our Flax trees with
+``models/torch_import.py``, and assert the forward depth maps and training
+losses match numerically.
+
+Covers every model family: DepthResNet-18/50 (reference
+detectron2/modeling/depth_net/DepthResNet.py:45-70), BtsModel-R50
+(BTSNet.py:336-370), PackNet01-1A (PackNet01.py:120-209), GoogleResNet
+BN+randLN (GoogleResNet.py:157-174), PoseNet (PoseNet.py:50-65),
+GooglePoseNet / GoogleMotionNet (GooglePoseNet.py:64-208), and the
+MonoDepth2Model (MonoDepth2.py:55-125) total training loss.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from reference_compat import install_reference_environment, nested
+
+install_reference_environment()
+
+from simpledepthestimation_tpu.config import get_cfg
+from simpledepthestimation_tpu.models import build_model, build_depth_net, build_pose_net
+from simpledepthestimation_tpu.models import torch_import as TI
+
+B, H, W = 2, 64, 96
+
+
+def sd_np(module) -> dict:
+    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+
+def nchw(x_nhwc: np.ndarray) -> torch.Tensor:
+    return torch.from_numpy(np.ascontiguousarray(x_nhwc.transpose(0, 3, 1, 2)))
+
+
+def nhwc(t: torch.Tensor) -> np.ndarray:
+    return t.detach().cpu().numpy().transpose(0, 2, 3, 1)
+
+
+def ref_depth_cfg(name: str, encoder: str, **extra):
+    d = {
+        "MODEL": {
+            "DEPTH_NET": {
+                "NAME": name,
+                "ENCODER_NAME": encoder,
+                "UPSAMPLE_DEPTH": False,
+                "VERSION": extra.pop("VERSION", "1A"),
+                "NORM": extra.pop("NORM", "BN"),
+                "LEARN_SCALE": extra.pop("LEARN_SCALE", False),
+                "BTS_SIZE": 512,
+                "BN_NO_TRACK": False,
+                "FIX_1ST_CONV": False,
+                "FIX_1ST_CONVS": False,
+            },
+            "MAX_DEPTH": 80.0,
+            "DATASET": "kitti",
+        }
+    }
+    cfg = nested(d)
+    for k, v in extra.items():
+        cfg.MODEL.DEPTH_NET[k] = v
+
+    class _G(dict):
+        pass
+
+    # RefCfg nested dicts already support .get via dict
+    return cfg
+
+
+def my_depth_cfg(name: str, encoder: str, **extra):
+    cfg = get_cfg()
+    cfg.MODEL.DEPTH_NET.NAME = name
+    cfg.MODEL.DEPTH_NET.ENCODER_NAME = encoder
+    cfg.MODEL.DEPTH_NET.UPSAMPLE_DEPTH = False
+    cfg.MODEL.MAX_DEPTH = 80.0
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    for k, v in extra.items():
+        cfg.MODEL.DEPTH_NET[k] = v
+    return cfg
+
+
+def convert_and_apply_depth_net(cfg, ref_net, image_nhwc, train=False):
+    """Init my depth net, inject the converted reference weights, run it."""
+    model = build_depth_net(cfg)
+    x = jnp.asarray(image_nhwc)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        x,
+        train=train,
+    )
+    sd = {
+        k: v
+        for k, v in sd_np(ref_net).items()
+        if not k.endswith("num_batches_tracked")
+    }
+    name = type(ref_net).__name__
+    conv = TI._DEPTH_NET_CONVERTERS[name]
+    ref_cfg_like = cfg  # our CfgNode supports the same attribute access
+    params, stats = conv(sd, ref_cfg_like)
+
+    from flax.core import unfreeze
+
+    plain = lambda t: {k: plain(v) for k, v in t.items()} if hasattr(t, "items") else t
+    variables = dict(unfreeze(variables))
+    TI._assert_tree_match(params, plain(variables["params"]))
+    variables["params"] = params
+    if "batch_stats" in variables:
+        TI._assert_tree_match(stats, plain(variables["batch_stats"]))
+        variables["batch_stats"] = stats
+    mutable = ["batch_stats"] if (train and variables.get("batch_stats")) else False
+    outs = model.apply(
+        variables,
+        x,
+        train=train,
+        intrinsics=None,
+        rngs={"noise": jax.random.PRNGKey(2)},
+        mutable=mutable,
+    )
+    if mutable:
+        outs = outs[0]
+    return outs
+
+
+@pytest.fixture(scope="module")
+def rng_image():
+    rng = np.random.RandomState(7)
+    return rng.rand(B, H, W, 3).astype(np.float32) * 2.0 - 1.0
+
+
+# ---------------------------------------------------------------------------
+# DepthResNet
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("layers", ["18", "50"])
+def test_depth_resnet_forward_parity(rng_image, layers):
+    from detectron2.modeling.depth_net.DepthResNet import DepthResNet as RefDepthResNet
+
+    torch.manual_seed(3)
+    ref = RefDepthResNet(ref_depth_cfg("DepthResNet", layers)).eval()
+    with torch.no_grad():
+        ref_out = ref({"depth_net_input": nchw(rng_image)})["depth_pred"]
+
+    cfg = my_depth_cfg("DepthResNet", layers)
+    depths = convert_and_apply_depth_net(cfg, ref, rng_image, train=False)
+
+    assert len(depths) == 4
+    for mine, theirs in zip(depths, ref_out):
+        np.testing.assert_allclose(
+            np.asarray(mine), nhwc(theirs), rtol=1e-4, atol=2e-3
+        )
+
+
+# ---------------------------------------------------------------------------
+# BTS
+# ---------------------------------------------------------------------------
+
+
+def test_bts_r50_forward_parity(rng_image):
+    from detectron2.modeling.depth_net.BTSNet import BtsModel as RefBtsModel
+
+    rcfg = ref_depth_cfg("BtsModel", "resnet50_bts")
+    torch.manual_seed(5)
+    ref = RefBtsModel(rcfg).eval()
+    intrinsics = np.tile(
+        np.array([[721.5, 0, 48.0], [0, 721.5, 32.0], [0, 0, 1]], np.float32), (B, 1, 1)
+    )
+    with torch.no_grad():
+        ref_out = ref(
+            {
+                "depth_net_input": nchw(rng_image),
+                "intrinsics": torch.from_numpy(intrinsics),
+            }
+        )["depth_pred"][0]
+
+    cfg = my_depth_cfg("BtsModel", "resnet50_bts")
+    model = build_depth_net(cfg)
+    x = jnp.asarray(rng_image)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    params, stats = TI.convert_bts(
+        {k: v for k, v in sd_np(ref).items() if not k.endswith("num_batches_tracked")},
+        50,
+    )
+    from flax.core import unfreeze
+
+    plain = lambda t: {k: plain(v) for k, v in t.items()} if hasattr(t, "items") else t
+    variables = dict(unfreeze(variables))
+    TI._assert_tree_match(params, plain(variables["params"]))
+    TI._assert_tree_match(stats, plain(variables["batch_stats"]))
+    out = model.apply(
+        {"params": params, "batch_stats": stats},
+        x,
+        train=False,
+        intrinsics=jnp.asarray(intrinsics),
+    )[0]
+    np.testing.assert_allclose(np.asarray(out), nhwc(ref_out), rtol=1e-4, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# PackNet01
+# ---------------------------------------------------------------------------
+
+
+def test_packnet_1a_forward_parity(rng_image):
+    from detectron2.modeling.depth_net.PackNet01 import PackNet01 as RefPackNet
+
+    torch.manual_seed(11)
+    ref = RefPackNet(ref_depth_cfg("PackNet01", "", VERSION="1A")).eval()
+    with torch.no_grad():
+        ref_out = ref({"depth_net_input": nchw(rng_image)})["depth_pred"]
+
+    cfg = my_depth_cfg("PackNet01", "18", VERSION="1A")
+    depths = convert_and_apply_depth_net(cfg, ref, rng_image, train=False)
+    for mine, theirs in zip(depths, ref_out):
+        np.testing.assert_allclose(
+            np.asarray(mine), nhwc(theirs), rtol=1e-4, atol=2e-3
+        )
+
+
+# ---------------------------------------------------------------------------
+# GoogleResNet (BN and randLN)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("norm", ["BN", "randLN"])
+def test_google_resnet_forward_parity(rng_image, norm):
+    from detectron2.modeling.depth_net.GoogleResNet import GoogleResNet as RefGoogleResNet
+
+    torch.manual_seed(13)
+    ref = RefGoogleResNet(
+        ref_depth_cfg("GoogleResNet", "18", NORM=norm, LEARN_SCALE=True)
+    ).eval()
+    with torch.no_grad():
+        ref_out = ref({"depth_net_input": nchw(rng_image)})["depth_pred"][0]
+
+    cfg = my_depth_cfg("GoogleResNet", "18", NORM=norm, LEARN_SCALE=True)
+    out = convert_and_apply_depth_net(cfg, ref, rng_image, train=False)[0]
+    np.testing.assert_allclose(np.asarray(out), nhwc(ref_out), rtol=1e-4, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Pose nets
+# ---------------------------------------------------------------------------
+
+
+def _pose_cfg_pair(name, num_ctx=2, use_depth=False, learn_scale=False,
+                   group_norm=True, scale_constrain="clip", mask_motion=False):
+    rcfg = nested(
+        {
+            "MODEL": {
+                "POSE_NET": {
+                    "NAME": name,
+                    "NUM_CONTEXTS": num_ctx,
+                    "USE_DEPTH": use_depth,
+                    "LEARN_SCALE": learn_scale,
+                    "GROUP_NORM": group_norm,
+                    "SCALE_CONSTRAIN": scale_constrain,
+                    "MASK_MOTION": mask_motion,
+                }
+            }
+        }
+    )
+    cfg = get_cfg()
+    cfg.MODEL.POSE_NET.NAME = name
+    cfg.MODEL.POSE_NET.NUM_CONTEXTS = num_ctx
+    cfg.MODEL.POSE_NET.USE_DEPTH = use_depth
+    cfg.MODEL.POSE_NET.LEARN_SCALE = learn_scale
+    cfg.MODEL.POSE_NET.GROUP_NORM = group_norm
+    cfg.MODEL.POSE_NET.SCALE_CONSTRAIN = scale_constrain
+    cfg.MODEL.POSE_NET.MASK_MOTION = mask_motion
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    return rcfg, cfg
+
+
+def test_posenet_parity():
+    from detectron2.modeling.pose_net.PoseNet import PoseNet as RefPoseNet
+
+    rcfg, cfg = _pose_cfg_pair("PoseNet", num_ctx=2)
+    torch.manual_seed(17)
+    ref = RefPoseNet(rcfg).eval()
+    rng = np.random.RandomState(19)
+    x = rng.rand(B, H, W, 9).astype(np.float32)
+    with torch.no_grad():
+        ref_poses = ref({"pose_net_input": nchw(x)})["pose_pred"]
+
+    model = build_pose_net(cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x))
+    params, _ = TI.convert_posenet(sd_np(ref))
+    poses = model.apply({"params": params}, jnp.asarray(x))
+    for mine, theirs in zip(poses, ref_poses):
+        np.testing.assert_allclose(
+            np.asarray(mine), theirs.numpy(), rtol=1e-4, atol=1e-6
+        )
+
+
+@pytest.mark.parametrize("learn_scale", [False, True])
+def test_google_posenet_parity(learn_scale):
+    from detectron2.modeling.pose_net.GooglePoseNet import GooglePoseNet as RefGPN
+
+    rcfg, cfg = _pose_cfg_pair(
+        "GooglePoseNet", use_depth=False, learn_scale=learn_scale, group_norm=True
+    )
+    torch.manual_seed(23)
+    ref = RefGPN(rcfg).eval()
+    rng = np.random.RandomState(29)
+    x = rng.rand(B, H, W, 6).astype(np.float32)
+    with torch.no_grad():
+        ref_pose = ref({"pose_net_input": nchw(x)})["pose_pred"]
+
+    model = build_pose_net(cfg)
+    model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x))
+    params, _ = TI.convert_google_posenet(sd_np(ref))
+    pose = model.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(pose), ref_pose.numpy(), rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("scale_constrain", ["clip", "clip_ste", "softplus"])
+def test_google_motion_net_parity(scale_constrain):
+    from detectron2.modeling.pose_net.GooglePoseNet import GoogleMotionNet as RefGMN
+
+    rcfg, cfg = _pose_cfg_pair(
+        "GoogleMotionNet",
+        use_depth=True,
+        learn_scale=True,
+        group_norm=True,
+        scale_constrain=scale_constrain,
+        mask_motion=True,
+    )
+    torch.manual_seed(31)
+    ref = RefGMN(rcfg).eval()
+    rng = np.random.RandomState(37)
+    x = rng.rand(B, H, W, 8).astype(np.float32)
+    with torch.no_grad():
+        out = ref({"pose_net_input": nchw(x)})
+        ref_pose, ref_motion = out["pose_pred"], out["motion_pred"]
+
+    model = build_pose_net(cfg)
+    model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x))
+    params, _ = TI.convert_google_motion_net(sd_np(ref))
+    pose, motion = model.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(pose), ref_pose.numpy(), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(motion), nhwc(ref_motion), rtol=1e-4, atol=1e-6
+    )
+
+
+# ---------------------------------------------------------------------------
+# MonoDepth2Model total training loss
+# ---------------------------------------------------------------------------
+
+
+def test_monodepth2_training_loss_parity():
+    from detectron2.modeling.meta_arch.MonoDepth2 import MonoDepth2Model as RefM2
+
+    loss_keys = {
+        "SSIM_WEIGHT": 0.85,
+        "C1": 1e-4,
+        "C2": 9e-4,
+        "CLIP": 0.0,
+        "AUTOMASK": True,
+        "PHOTOMETRIC_REDUCE": "min",
+        "SMOOTHNESS_WEIGHT": 0.001,
+        "SUPERVISED_WEIGHT": 0.0,
+        "VAR_LOSS_WEIGHT": 0.0,
+        "VARIANCE_FOCUS": 0.85,
+    }
+    rcfg = nested(
+        {
+            "MODEL": {
+                "META_ARCHITECTURE": "MonoDepth2Model",
+                "DEPTH_NET": {
+                    "NAME": "DepthResNet",
+                    "ENCODER_NAME": "18",
+                    "UPSAMPLE_DEPTH": False,
+                },
+                "POSE_NET": {"NAME": "PoseNet", "NUM_CONTEXTS": 2},
+                "MAX_DEPTH": 80.0,
+                "PIXEL_MEAN": [0.485, 0.456, 0.406],
+                "PIXEL_STD": [0.229, 0.224, 0.225],
+            },
+            "LOSS": {k: v for k, v in loss_keys.items()},
+        }
+    )
+    rcfg.LOSS.VAR_LOSS_WEIGHT = 0.0
+
+    # reference builders dispatch through their registries
+    import detectron2.modeling.meta_arch  # noqa: F401 (registers)
+
+    torch.manual_seed(41)
+    ref = RefM2(rcfg).train()
+
+    # Reference-HEAD latent bug: view_synthesis (reference geometry/
+    # camera.py:167-191) reads H,W from t's shape, so the rigid [B,3,1,1]
+    # t of MonoDepth2.py:94 degenerates (0/0 grid normalization → NaN).
+    # The dense-t path is the non-degenerate behavior the model zoo
+    # corresponds to — feed the rigid t expanded to [B,3,h,w] (identical
+    # math: K·t is constant per pixel).
+    orig_rcl = ref.rgb_consistency_loss
+
+    def rcl_dense_t(frame_A, frame_B, depth_A, intrinsics, R=None, t=None):
+        if t is not None:
+            h, w = depth_A.shape[-2:]
+            t = t.expand(-1, -1, h, w)
+        return orig_rcl(frame_A, frame_B, depth_A, intrinsics, R, t)
+
+    ref.rgb_consistency_loss = rcl_dense_t
+
+    rng = np.random.RandomState(43)
+    img = rng.rand(B, H, W, 3).astype(np.float32)
+    ctx = rng.rand(B, 2, H, W, 3).astype(np.float32)
+    img_orig = rng.rand(B, H, W, 3).astype(np.float32)
+    ctx_orig = rng.rand(B, 2, H, W, 3).astype(np.float32)
+    K = np.tile(
+        np.array([[50.0, 0, W / 2], [0, 50.0, H / 2], [0, 0, 1]], np.float32),
+        (B, 1, 1),
+    )
+
+    ref_batch = {
+        "img": nchw(img),
+        "ctx_img": [nchw(ctx[:, j]) for j in range(2)],
+        "img_orig": nchw(img_orig),
+        "ctx_img_orig": [nchw(ctx_orig[:, j]) for j in range(2)],
+        "intrinsics": torch.from_numpy(K.copy()),
+    }
+    with torch.no_grad():
+        ref_losses = ref(ref_batch)
+    ref_total = float(sum(v for v in ref_losses.values()))
+
+    cfg = get_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "MonoDepth2Model"
+    cfg.MODEL.DEPTH_NET.NAME = "DepthResNet"
+    cfg.MODEL.DEPTH_NET.ENCODER_NAME = "18"
+    cfg.MODEL.POSE_NET.NAME = "PoseNet"
+    cfg.MODEL.POSE_NET.NUM_CONTEXTS = 2
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.PALLAS_PHOTOMETRIC = False
+    for k, v in loss_keys.items():
+        cfg.LOSS[k] = v
+
+    model = build_model(cfg)
+    batch = {
+        "img": jnp.asarray(img),
+        "ctx_img": jnp.asarray(ctx),
+        "img_orig": jnp.asarray(img_orig),
+        "ctx_img_orig": jnp.asarray(ctx_orig),
+        "intrinsics": jnp.asarray(K),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        batch,
+        train=True,
+    )
+    variables = TI.apply_torch_checkpoint(variables, sd_np(ref), cfg)
+    losses, _ = model.apply(
+        variables,
+        batch,
+        train=True,
+        mutable=["batch_stats"],
+        rngs={"noise": jax.random.PRNGKey(2)},
+    )
+    my_total = float(sum(np.asarray(v) for v in losses.values()))
+
+    # per-term and total parity
+    assert set(losses) == set(ref_losses), (set(losses), set(ref_losses))
+    for k in losses:
+        np.testing.assert_allclose(
+            float(np.asarray(losses[k])), float(ref_losses[k]), rtol=2e-4, atol=1e-6,
+            err_msg=f"loss term {k}",
+        )
+    np.testing.assert_allclose(my_total, ref_total, rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# MotionLearningModel total training loss
+# ---------------------------------------------------------------------------
+
+
+def test_motionlearning_training_loss_parity():
+    from detectron2.modeling.meta_arch.MotionLearning import (
+        MotionLearningModel as RefML,
+    )
+
+    loss_keys = {
+        "NUM_SCALES": 2,
+        "DEPTH_L1_WEIGHT": 0.0,
+        "SSIM_WEIGHT": 3.0,
+        "C1": float("inf"),
+        "C2": 9e-6,
+        "CLIP": 0.0,
+        "SMOOTHNESS_WEIGHT": 0.001,
+        "SUPERVISED_WEIGHT": 0.0,
+        "VARIANCE_FOCUS": 0.85,
+        "VAR_LOSS_WEIGHT": 0.0,
+        "MOTION_SMOOTHNESS_WEIGHT": 1.0,
+        "MOTION_SPARSITY_WEIGHT": 0.2,
+        "ROT_CYCLE_WEIGHT": 1e-3,
+        "TRANS_CYCLE_WEIGHT": 5e-2,
+        "SCALE_NORMALIZE": True,
+    }
+    rcfg = nested(
+        {
+            "MODEL": {
+                "META_ARCHITECTURE": "MotionLearningModel",
+                "DEPTH_NET": {
+                    "NAME": "GoogleResNet",
+                    "ENCODER_NAME": "18",
+                    "NORM": "BN",  # BN (not randLN): deterministic in train mode
+                    "LEARN_SCALE": False,
+                    "UPSAMPLE_DEPTH": False,
+                },
+                "POSE_NET": {
+                    "NAME": "GoogleMotionNet",
+                    "USE_DEPTH": True,
+                    "LEARN_SCALE": True,
+                    "GROUP_NORM": True,
+                    "SCALE_CONSTRAIN": "clip",
+                    "MASK_MOTION": True,
+                },
+                "MAX_DEPTH": 80.0,
+                "PIXEL_MEAN": [0.485, 0.456, 0.406],
+                "PIXEL_STD": [0.229, 0.224, 0.225],
+                "WITH_MASK": False,
+                "RETURN_LOSS": False,
+            },
+            "LOSS": dict(loss_keys),
+        }
+    )
+    torch.manual_seed(47)
+    ref = RefML(rcfg).train()
+
+    rng = np.random.RandomState(53)
+    img = rng.rand(B, H, W, 3).astype(np.float32)
+    ctx = rng.rand(B, 1, H, W, 3).astype(np.float32)
+    K = np.tile(
+        np.array([[50.0, 0, W / 2], [0, 50.0, H / 2], [0, 0, 1]], np.float32),
+        (B, 1, 1),
+    )
+    ref_batch = {
+        "img": nchw(img),
+        "ctx_img": [nchw(ctx[:, 0])],
+        "intrinsics": torch.from_numpy(K.copy()),
+    }
+    with torch.no_grad():
+        out = ref(ref_batch)
+    ref_losses = {
+        k: float(v)
+        for k, v in out.items()
+        if isinstance(k, str) and k.endswith("loss") and torch.is_tensor(v) and v.ndim == 0
+    }
+
+    cfg = get_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "MotionLearningModel"
+    cfg.MODEL.DEPTH_NET.NAME = "GoogleResNet"
+    cfg.MODEL.DEPTH_NET.ENCODER_NAME = "18"
+    cfg.MODEL.DEPTH_NET.NORM = "BN"
+    cfg.MODEL.DEPTH_NET.LEARN_SCALE = False
+    cfg.MODEL.POSE_NET.NAME = "GoogleMotionNet"
+    cfg.MODEL.POSE_NET.USE_DEPTH = True
+    cfg.MODEL.POSE_NET.LEARN_SCALE = True
+    cfg.MODEL.POSE_NET.GROUP_NORM = True
+    cfg.MODEL.POSE_NET.SCALE_CONSTRAIN = "clip"
+    cfg.MODEL.POSE_NET.MASK_MOTION = True
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    for k, v in loss_keys.items():
+        cfg.LOSS[k] = v
+
+    model = build_model(cfg)
+    batch = {
+        "img": jnp.asarray(img),
+        "ctx_img": jnp.asarray(ctx),
+        "intrinsics": jnp.asarray(K),
+        "motion_weight": jnp.float32(1.0),
+        "noise_stddev": jnp.float32(0.0),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        batch,
+        train=True,
+    )
+    variables = TI.apply_torch_checkpoint(variables, sd_np(ref), cfg)
+    losses, _ = model.apply(
+        variables,
+        batch,
+        train=True,
+        mutable=["batch_stats"],
+        rngs={"noise": jax.random.PRNGKey(2)},
+    )
+    losses = {k: float(np.asarray(v)) for k, v in losses.items()}
+
+    assert set(losses) == set(ref_losses), (set(losses), set(ref_losses))
+    for k in sorted(losses):
+        np.testing.assert_allclose(
+            losses[k], ref_losses[k], rtol=3e-4, atol=1e-6, err_msg=f"loss term {k}"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-migration tool end-to-end
+# ---------------------------------------------------------------------------
+
+
+def test_import_torch_checkpoint_tool(tmp_path):
+    """tools/import_torch_checkpoint.py: a reference fvcore-style .pth
+    payload round-trips into an Orbax checkpoint whose params equal the
+    converter output."""
+    import os
+    import subprocess
+
+    from detectron2.modeling.meta_arch.MonoDepth2 import MonoDepth2Model as RefM2
+
+    rcfg = nested(
+        {
+            "MODEL": {
+                "DEPTH_NET": {
+                    "NAME": "DepthResNet",
+                    "ENCODER_NAME": "18",
+                    "UPSAMPLE_DEPTH": False,
+                },
+                "POSE_NET": {"NAME": "PoseNet", "NUM_CONTEXTS": 2},
+                "MAX_DEPTH": 80.0,
+                "PIXEL_MEAN": [0.485, 0.456, 0.406],
+                "PIXEL_STD": [0.229, 0.224, 0.225],
+            },
+            "LOSS": {
+                "SSIM_WEIGHT": 0.85,
+                "C1": 1e-4,
+                "C2": 9e-4,
+                "CLIP": 0.0,
+                "AUTOMASK": True,
+                "PHOTOMETRIC_REDUCE": "min",
+                "SMOOTHNESS_WEIGHT": 0.001,
+                "SUPERVISED_WEIGHT": 0.0,
+                "VAR_LOSS_WEIGHT": 0.0,
+                "VARIANCE_FOCUS": 0.85,
+            },
+        }
+    )
+    torch.manual_seed(61)
+    ref = RefM2(rcfg)
+    pth = tmp_path / "ref_model.pth"
+    torch.save({"model": ref.state_dict(), "iteration": 42}, pth)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = tmp_path / "imported"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    res = subprocess.run(
+        [
+            "python", os.path.join(repo, "tools", "import_torch_checkpoint.py"),
+            "--cfg", os.path.join(repo, "projects", "MonoDepth2", "configs", "resnet18.yaml"),
+            "--weights", str(pth),
+            "--output", str(out_dir),
+            "--epoch", "3",
+            "DATASETS.TRAIN.IMG_HEIGHT", "64",
+            "DATASETS.TRAIN.IMG_WIDTH", "96",
+            "OUTPUT_DIR", str(tmp_path / "out"),
+        ],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=600,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(os.path.abspath(out_dir))
+    assert mgr.latest_step() == 3
+    raw = mgr.restore(3)
+    saved_kernel = np.asarray(
+        raw["state"]["params"]["depth_net"]["encoder"]["conv1"]["kernel"]
+    )
+    expected = (
+        ref.state_dict()["depth_net.encoder.encoder.conv1.weight"]
+        .numpy().transpose(2, 3, 1, 0)
+    )
+    np.testing.assert_allclose(saved_kernel, expected, rtol=1e-6)
+    assert raw["meta"]["epoch"] == 3

@@ -46,7 +46,6 @@ def bench_case(name, meta, dn, pose, B, H, W):
     cfg.TPU.COMPUTE_DTYPE = "bfloat16" if jax.default_backend() == "tpu" else "float32"
     loss = cfg.LOSS
     loss.VARIANCE_FOCUS = 0.85
-    extra_keys = ()
     if pose == "motion":
         cfg.MODEL.POSE_NET.NAME = "GoogleMotionNet"
         cfg.MODEL.POSE_NET.USE_DEPTH = True
@@ -64,7 +63,6 @@ def bench_case(name, meta, dn, pose, B, H, W):
         loss.ROT_CYCLE_WEIGHT = 1e-3
         loss.TRANS_CYCLE_WEIGHT = 5e-2
         loss.SMOOTHNESS_WEIGHT = 0.001
-        extra_keys = ("noise_stddev", "motion_weight")
     elif pose:
         cfg.MODEL.POSE_NET.NAME = "PoseNet"
         cfg.MODEL.POSE_NET.NUM_CONTEXTS = 2
@@ -99,7 +97,7 @@ def bench_case(name, meta, dn, pose, B, H, W):
     optimizer, _ = build_optimizer(cfg, steps_per_epoch=100)
     mesh = build_mesh(("data",), (len(jax.devices()),))
     state = create_train_state(model, optimizer, batch, jax.random.PRNGKey(0))
-    step = make_train_step(model, optimizer, mesh, donate=True, extra_scalar_keys=extra_keys)
+    step = make_train_step(model, optimizer, mesh, donate=True)
     from simpledepthestimation_tpu.parallel.mesh import replicated
 
     dsh = data_sharding(mesh)

@@ -1,33 +1,37 @@
 #!/usr/bin/env python
 """Extract Waymo Open Dataset tfrecords into frame directories.
 
-Counterpart of reference tools/extract_waymo_data.py:1-134: parses each
-segment's tfrecords, writes per-frame camera jpgs + uint16 ×255 depth pngs
-(top-lidar returns projected into each camera), and an ``infos.pkl`` with
-the frame index + per-segment calibration consumed by
-``WaymoDepth`` (simpledepthestimation_tpu/data/datasets/waymo.py).
+Thin tf/waymo-od glue around the pure extraction math in
+``simpledepthestimation_tpu.data.datasets.waymo_extract`` (projection,
+depth-image assembly, infos index assembly — unit-tested without tf).
+Counterpart of reference tools/extract_waymo_data.py:1-134: per-frame
+camera jpgs + uint16 ×255 camera-Z depth pngs (top-lidar returns projected
+into each camera) + an ``infos.pkl`` consumed by ``WaymoDepth``.
 
 Requires ``tensorflow`` and ``waymo-open-dataset`` (not baked into this
 image — the tool degrades to a clear error; run it in a Waymo-capable env).
 """
 
 import argparse
+import glob
 import os
 import pickle
 import sys
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-def parse_args():
-    p = argparse.ArgumentParser()
-    p.add_argument("--data-root", required=True, help="directory of *.tfrecord segments")
-    p.add_argument("--out-root", required=True)
-    p.add_argument("--split", default="training")
-    p.add_argument("--workers", type=int, default=8)
-    return p.parse_args()
+from simpledepthestimation_tpu.data.datasets.waymo_extract import (
+    assemble_infos,
+    build_frame_info,
+    encode_depth_png,
+    intrinsic_matrix4,
+    project_points_to_camera,
+    scatter_depth_image,
+)
 
 
 def extract_segment(args):
-    """Extract one segment: images, projected depth, calibration."""
+    """Extract one segment: images, projected depth, calibration (glue)."""
     import numpy as np
     import cv2
     import tensorflow as tf
@@ -57,9 +61,23 @@ def extract_segment(args):
         )
         points_all = np.concatenate(points, axis=0)
         cp_all = np.concatenate(cp_points, axis=0)
-        distances = np.linalg.norm(points_all, axis=-1)
 
         calib = {}
+        for cc in frame.context.camera_calibrations:
+            cam_name = dataset_pb2.CameraName.Name.Name(cc.name)
+            calib[cam_name] = {
+                "intrinsics": np.array(
+                    [
+                        [cc.intrinsic[0], 0, cc.intrinsic[2]],
+                        [0, cc.intrinsic[1], cc.intrinsic[3]],
+                        [0, 0, 1],
+                    ],
+                    np.float32,
+                ),
+                "extrinsics": np.array(cc.extrinsic.transform, np.float32).reshape(4, 4),
+            }
+
+        calibs_by_id = {cc.name: cc for cc in frame.context.camera_calibrations}
         for img_proto in frame.images:
             cam_name = dataset_pb2.CameraName.Name.Name(img_proto.name)
             img = tf.image.decode_jpeg(img_proto.image).numpy()
@@ -68,36 +86,38 @@ def extract_segment(args):
                 cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
             )
 
-            # depth: lidar returns whose primary projection hits this camera
+            # lidar returns whose primary projection hits this camera,
+            # scattered at the dataset's projection indices with CAMERA-Z
+            # depth (reference extract_waymo_data.py:99-108)
+            cc = calibs_by_id[img_proto.name]
             mask = cp_all[..., 0] == img_proto.name
-            xs = cp_all[mask, 1].astype(np.int64)
-            ys = cp_all[mask, 2].astype(np.int64)
-            depth = np.zeros(img.shape[:2], np.float32)
-            depth[ys, xs] = distances[mask]
+            _, _, depth_z = project_points_to_camera(
+                points_all[mask],
+                np.array(cc.extrinsic.transform, np.float64).reshape(4, 4),
+                intrinsic_matrix4(*cc.intrinsic[:4]),
+            )
+            depth_img = scatter_depth_image(
+                img.shape[0], img.shape[1],
+                cp_all[mask, 1], cp_all[mask, 2], depth_z,
+            )
             cv2.imwrite(
                 os.path.join(depth_dir_out, f"{cam_name}_depth.png"),
-                (depth * 255).astype(np.uint16),
+                encode_depth_png(depth_img),
             )
 
-        for cc in frame.context.camera_calibrations:
-            cam_name = dataset_pb2.CameraName.Name.Name(cc.name)
-            fx, fy, cx, cy = cc.intrinsic[0], cc.intrinsic[1], cc.intrinsic[2], cc.intrinsic[3]
-            calib[cam_name] = {
-                "intrinsics": np.array(
-                    [[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32
-                ),
-                "extrinsics": np.array(cc.extrinsic.transform, np.float32).reshape(4, 4),
-            }
-
-        frames_info.append(
-            {"segment": seg_name, "frame": frame_idx, "rel_dir": rel_dir, "calib": calib}
-        )
+        frames_info.append(build_frame_info(seg_name, frame_idx, rel_dir, calib))
 
     return frames_info
 
 
 def main():
-    args = parse_args()
+    p = argparse.ArgumentParser()
+    p.add_argument("--data-root", required=True, help="directory of *.tfrecord segments")
+    p.add_argument("--out-root", required=True)
+    p.add_argument("--split", default="training")
+    p.add_argument("--workers", type=int, default=8)
+    args = p.parse_args()
+
     try:
         import tensorflow  # noqa: F401
         import waymo_open_dataset  # noqa: F401
@@ -111,7 +131,6 @@ def main():
         )
         sys.exit(2)
 
-    import glob
     from multiprocessing import Pool
 
     segments = sorted(glob.glob(os.path.join(args.data_root, "*.tfrecord")))
@@ -122,11 +141,13 @@ def main():
     with Pool(args.workers) as pool:
         all_infos = pool.map(extract_segment, [(s, out_dir) for s in segments])
 
-    frames = [fr for seg in all_infos for fr in seg]
+    infos = assemble_infos(all_infos)
     os.makedirs(os.path.join(args.out_root, "infos"), exist_ok=True)
     with open(os.path.join(args.out_root, "infos", f"{args.split}_infos.pkl"), "wb") as f:
-        pickle.dump({"frames": frames}, f)
-    print(f"extracted {len(frames)} frames from {len(segments)} segments → {out_dir}")
+        pickle.dump(infos, f)
+    print(
+        f"extracted {len(infos['frames'])} frames from {len(segments)} segments → {out_dir}"
+    )
 
 
 if __name__ == "__main__":
