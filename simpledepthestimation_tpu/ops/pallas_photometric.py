@@ -10,9 +10,13 @@ composition materializes ~12 HBM intermediates (6 window sums × 2 moments);
 the kernel keeps everything in VMEM — per-batch-item grid, whole image block
 (loss-scale images are ≤ 192×640×3 ≈ 1.4 MB, well inside VMEM).
 
-Backward runs through the jnp reference implementation via ``jax.custom_vjp``
-(same math, correctness over fusion in the reverse pass); the jnp path is
-also the test oracle and the non-TPU fallback.
+Backward is the ANALYTIC VJP — the gradient of the SSIM+L1 map is itself a
+3×3-window composition (adjoint box filters on five cotangent planes), so
+it runs as a second fused Pallas kernel on TPU (``_bwd_kernel``) instead of
+replaying the unfused jnp composition, which re-materialized the ~12 HBM
+intermediates. The batched jnp analytic VJP
+(:func:`photometric_vjp_reference`) is the oracle and the off-TPU path;
+both are tested against ``jax.vjp`` of the forward composition.
 """
 
 from __future__ import annotations
@@ -30,6 +34,156 @@ def photometric_map_reference(a: jnp.ndarray, b: jnp.ndarray, alpha: float,
     l1 = jnp.mean(jnp.abs(a - b), axis=-1, keepdims=True)
     s = jnp.mean(L.ssim(a, b, C1, C2), axis=-1, keepdims=True)
     return alpha * s + (1.0 - alpha) * l1
+
+
+def _pool9_plane(x, H: int, W: int):
+    """3×3 reflect-padded mean on a [H, W] plane (slice composition —
+    Mosaic-safe, no jnp.pad 'reflect')."""
+    x = jnp.concatenate([x[1:2], x, x[H - 2 : H - 1]], axis=0)
+    x = jnp.concatenate([x[:, 1:2], x, x[:, W - 2 : W - 1]], axis=1)
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            piece = x[dy : dy + H, dx : dx + W]
+            acc = piece if acc is None else acc + piece
+    return acc / 9.0
+
+
+def _pool9_adjoint_plane(u, H: int, W: int):
+    """Adjoint of :func:`_pool9_plane`: zero-padded 3×3 correlation of the
+    cotangent, then the reflect-pad adjoint folds the border contributions
+    back onto rows/cols 1 and H−2/W−2."""
+    zrow = jnp.zeros((2, W), u.dtype)
+    zcol = jnp.zeros((H + 4, 2), u.dtype)
+    up = jnp.concatenate([zrow, u, zrow], axis=0)
+    up = jnp.concatenate([zcol, up, zcol], axis=1)  # [H+4, W+4]
+    gxp = None
+    for dy in range(3):
+        for dx in range(3):
+            piece = up[dy : dy + H + 2, dx : dx + W + 2]
+            gxp = piece if gxp is None else gxp + piece
+    gxp = gxp / 9.0  # [H+2, W+2]: cotangent of the reflect-padded array
+
+    # fold the W padding (cols 0 / W+1 were copies of interior cols 1 / W−2)
+    body = gxp[:, 1 : W + 1]
+    col1 = body[:, 1:2] + gxp[:, 0:1]
+    colw = body[:, W - 2 : W - 1] + gxp[:, W + 1 : W + 2]
+    body = jnp.concatenate(
+        [body[:, 0:1], col1, body[:, 2 : W - 2], colw, body[:, W - 1 : W]], axis=1
+    )
+    # fold the H padding
+    out = body[1 : H + 1]
+    row1 = out[1:2] + body[0:1]
+    rowh = out[H - 2 : H - 1] + body[H + 1 : H + 2]
+    return jnp.concatenate(
+        [out[0:1], row1, out[2 : H - 2], rowh, out[H - 1 : H]], axis=0
+    )
+
+
+def _photo_vjp_plane(a, b, g, alpha: float, C1: float, C2: float, H: int, W: int):
+    """Analytic (g_a, g_b) for one channel plane; ``g`` is the per-channel
+    cotangent (the channel-mean factor already folded in by the caller)."""
+    pool = lambda x: _pool9_plane(x, H, W)
+    poolT = lambda x: _pool9_adjoint_plane(x, H, W)
+
+    mu_a, mu_b = pool(a), pool(b)
+    p_aa, p_bb, p_ab = pool(a * a), pool(b * b), pool(a * b)
+    sig_a = p_aa - mu_a * mu_a
+    sig_b = p_bb - mu_b * mu_b
+    sig_ab = p_ab - mu_a * mu_b
+    n1 = 2.0 * mu_a * mu_b + C1
+    n2 = 2.0 * sig_ab + C2
+    d1 = mu_a * mu_a + mu_b * mu_b + C1
+    d2 = sig_a + sig_b + C2
+    n = n1 * n2
+    d = d1 * d2
+    r = (1.0 - n / d) * 0.5
+    in_range = ((r > 0.0) & (r < 1.0)).astype(a.dtype)
+
+    g_sd = alpha * g * in_range
+    g_ratio = -0.5 * g_sd
+    g_n = g_ratio / d
+    g_d = -g_ratio * n / (d * d)
+    g_n1, g_n2 = g_n * n2, g_n * n1
+    g_d1, g_d2 = g_d * d2, g_d * d1
+
+    g_sig_ab = 2.0 * g_n2
+    g_mu_a = 2.0 * mu_b * g_n1 + 2.0 * mu_a * g_d1 - 2.0 * mu_a * g_d2 - mu_b * g_sig_ab
+    g_mu_b = 2.0 * mu_a * g_n1 + 2.0 * mu_b * g_d1 - 2.0 * mu_b * g_d2 - mu_a * g_sig_ab
+
+    sgn = jnp.sign(a - b)
+    l1_g = (1.0 - alpha) * g * sgn
+    tp_ab = poolT(g_sig_ab)
+    g_a = poolT(g_mu_a) + 2.0 * a * poolT(g_d2) + b * tp_ab + l1_g
+    g_b = poolT(g_mu_b) + 2.0 * b * poolT(g_d2) + a * tp_ab - l1_g
+    return g_a, g_b
+
+
+def photometric_vjp_reference(a, b, g, alpha: float, C1: float, C2: float):
+    """Batched analytic VJP (NHWC): cotangent ``g`` is [B,H,W,1] wrt the
+    channel-mean output. Oracle + off-TPU backward path."""
+    B, H, W, C = a.shape
+    a32 = a.astype(jnp.float32)
+    b32 = b.astype(jnp.float32)
+    gc = (g[..., 0] / C).astype(jnp.float32)  # per-channel cotangent
+
+    gas, gbs = [], []
+    for c in range(C):
+        ga, gb = jax.vmap(
+            lambda ap, bp, gp: _photo_vjp_plane(ap, bp, gp, alpha, C1, C2, H, W)
+        )(a32[..., c], b32[..., c], gc)
+        gas.append(ga)
+        gbs.append(gb)
+    g_a = jnp.stack(gas, axis=-1).astype(a.dtype)
+    g_b = jnp.stack(gbs, axis=-1).astype(b.dtype)
+    return g_a, g_b
+
+
+def _bwd_kernel(a_ref, b_ref, g_ref, ga_ref, gb_ref, *, alpha, C1, C2, inv_c):
+    """Fused analytic backward on a [1, 1, H, W] channel plane."""
+    a = a_ref[0, 0].astype(jnp.float32)
+    b = b_ref[0, 0].astype(jnp.float32)
+    g = g_ref[0, 0].astype(jnp.float32) * inv_c
+    H, W = a.shape
+    g_a, g_b = _photo_vjp_plane(a, b, g, alpha, C1, C2, H, W)
+    ga_ref[0, 0] = g_a
+    gb_ref[0, 0] = g_b
+
+
+def _pallas_backward(a, b, g, alpha, C1, C2, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W, C = a.shape
+    a_cf = a.transpose(0, 3, 1, 2)
+    b_cf = b.transpose(0, 3, 1, 2)
+    g_cf = g.transpose(0, 3, 1, 2)  # [B, 1, H, W]
+    kernel = functools.partial(
+        _bwd_kernel, alpha=alpha, C1=C1, C2=C2, inv_c=1.0 / C
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    plane = pl.BlockSpec((1, 1, H, W), lambda i, c: (i, c, 0, 0), memory_space=pltpu.VMEM)
+    gplane = pl.BlockSpec((1, 1, H, W), lambda i, c: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    ga, gb = pl.pallas_call(
+        kernel,
+        grid=(B, C),
+        in_specs=[plane, plane, gplane],
+        out_specs=[plane, plane],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, C, H, W), jnp.float32),
+            jax.ShapeDtypeStruct((B, C, H, W), jnp.float32),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(a_cf, b_cf, g_cf)
+    return (
+        ga.transpose(0, 2, 3, 1).astype(a.dtype),
+        gb.transpose(0, 2, 3, 1).astype(b.dtype),
+    )
 
 
 def _kernel(a_ref, b_ref, out_ref, *, alpha: float, C1: float, C2: float):
@@ -256,8 +410,10 @@ def _fwd(a, b, alpha, C1, C2):
 
 def _bwd(alpha, C1, C2, residuals, g):
     a, b = residuals
-    _, vjp = jax.vjp(lambda x, y: photometric_map_reference(x, y, alpha, C1, C2), a, b)
-    return vjp(g)
+    H, W = a.shape[1:3]
+    if jax.default_backend() == "tpu" and H * W <= _MAX_PIXELS_FUSED:
+        return _pallas_backward(a, b, g, alpha, C1, C2)
+    return photometric_vjp_reference(a, b, g, alpha, C1, C2)
 
 
 photometric_map_fused.defvjp(_fwd, _bwd)

@@ -6,17 +6,25 @@ padding_mode='zeros', align_corners=True)`` (used at reference
 detectron2/geometry/camera.py:196) and of the TF-style gather resampler
 (reference detectron2/geometry/resampler.py:65-122), re-designed for TPU:
 
-- NHWC layout; the gather is a single-axis ``jnp.take`` on the
-  batch-flattened [B*H*W, C] operand with the batch offset folded into the
-  indices — measured 1.54× faster on v5e than the batched [B, H*W, C]
-  ``take_along_axis`` formulation (tools/microbench_packed.py; both are
-  index-throughput-bound, but XLA's global single-axis gather lowering is
-  cheaper per index). Channels ride the lane dimension.
-- Gradients flow through both the image (gather transpose = scatter-add) and
-  the coordinates (analytic bilinear weight derivative), matching
+- NHWC layout; the gather is a single-axis ``jnp.take`` on a
+  batch-flattened operand with the batch offset folded into the indices
+  (measured 1.54× faster on v5e than batched ``take_along_axis`` —
+  tools/microbench_packed.py; the gather is per-INDEX-cost bound, not
+  byte-bound).
+- **Row-pair channel packing halves the index count again (measured 2.06×
+  on v5e, tools/microbench_warp_packed.py)**: the image is packed to
+  [B,H,W,2C] with its one-row-down shifted copy (a cheap fusable
+  bandwidth op), so ONE gather per x-corner fetches both y-corners as a
+  contiguous 2C-wide slice — 2 gathers per bilinear sample instead of 4.
+  A 2×2-packed single-gather variant (4C slices) measured *slower* (0.76×)
+  — 6-wide f32 slices amortize the per-index cost, 12-wide do not.
+- Gradients flow through both the image (gather transpose = scatter-add,
+  summed over the two packed copies by the pad/concat adjoint) and the
+  coordinates (analytic bilinear weight derivative), matching
   grid_sample's autograd.
-- A fused Pallas kernel for warp+photometric lives in ops/pallas_warp.py;
-  this jnp composition is the reference implementation and fallback.
+- A fused Pallas kernel for the photometric consumer lives in
+  ops/pallas_photometric.py; the 4-gather composition is kept as
+  ``_resample_bilinear_4gather`` (test oracle).
 """
 
 from __future__ import annotations
@@ -45,21 +53,12 @@ def _gather_corner(
     return vals * inb[..., None].astype(flat_img.dtype)
 
 
-def resample_bilinear(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear sample of NHWC ``image`` at unnormalized pixel coords.
-
-    image: [B, H, W, C]; x, y: [B, h, w] float pixel coordinates.
-    Out-of-bounds contributions are zero (padding_mode='zeros'): every corner
-    is masked individually, so partially-outside samples fade out exactly as
-    grid_sample does.
-    """
+def _resample_bilinear_4gather(image, x, y):
+    """The un-packed 4-corner formulation (oracle / fallback)."""
     B, H, W, C = image.shape
     out_shape = x.shape[1:]
-    N = 1
-    for s in out_shape:
-        N *= s
-    x = x.reshape(B, N)
-    y = y.reshape(B, N)
+    x = x.reshape(B, -1)
+    y = y.reshape(B, -1)
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -74,6 +73,67 @@ def resample_bilinear(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp
     v01 = _gather_corner(flat, base, x0i + 1, y0i, H, W)
     v10 = _gather_corner(flat, base, x0i, y0i + 1, H, W)
     v11 = _gather_corner(flat, base, x0i + 1, y0i + 1, H, W)
+
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    out = top * (1 - wy) + bot * wy
+    return out.reshape((B,) + out_shape + (C,))
+
+
+def resample_bilinear(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of NHWC ``image`` at unnormalized pixel coords.
+
+    image: [B, H, W, C]; x, y: [B, h, w] float pixel coordinates.
+    Out-of-bounds contributions are zero (padding_mode='zeros'): every
+    corner is masked individually, so partially-outside samples fade out
+    exactly as grid_sample does.
+
+    Row-pair packed formulation (2.06× the 4-gather on v5e — module
+    docstring): gather (v_y0 | v_y1) per x-corner from the row-pair-packed
+    image. The y anchor is clamped to [0, H−1]; an in-packed ``where``
+    repairs the top-edge clamp (y0 = −1 reads its y1 corner from packed
+    slot 0), the bottom zero pad covers y0 = H−1, and per-corner masks
+    zero every out-of-bounds contribution.
+    """
+    B, H, W, C = image.shape
+    out_shape = x.shape[1:]
+    x = x.reshape(B, -1)
+    y = y.reshape(B, -1)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0).astype(image.dtype)[..., None]
+    wy = (y - y0).astype(image.dtype)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    padded = jnp.pad(image, ((0, 0), (0, 1), (0, 0), (0, 0)))
+    packed = jnp.concatenate([padded[:, :H], padded[:, 1:]], axis=-1)
+    flat = packed.reshape(B * H * W, 2 * C)
+    base = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None]
+    ay = jnp.clip(y0i, 0, H - 1)
+    sel0 = (jnp.clip(y0i - ay, 0, 1) == 0)[..., None]
+    sel1 = (jnp.clip(y0i + 1 - ay, 0, 1) == 0)[..., None]
+    m_y0 = (y0i >= 0) & (y0i <= H - 1)
+    m_y1 = (y0i + 1 >= 0) & (y0i + 1 <= H - 1)
+
+    def col(cx):
+        inb_x = (cx >= 0) & (cx <= W - 1)
+        idx = base + ay * W + jnp.clip(cx, 0, W - 1)
+        vals = jnp.take(flat, idx.reshape(-1), axis=0, mode="clip").reshape(
+            idx.shape + (2 * C,)
+        )
+        g = vals.reshape(vals.shape[:-1] + (2, C))
+        v0 = jnp.where(sel0, g[..., 0, :], g[..., 1, :])
+        v1 = jnp.where(sel1, g[..., 0, :], g[..., 1, :])
+        dt = flat.dtype
+        return (
+            v0 * (inb_x & m_y0)[..., None].astype(dt),
+            v1 * (inb_x & m_y1)[..., None].astype(dt),
+        )
+
+    v00, v10 = col(x0i)
+    v01, v11 = col(x0i + 1)
 
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx

@@ -199,3 +199,30 @@ def test_resample_matches_grid_sample(rng):
         align_corners=True,
     )
     np.testing.assert_allclose(direct, ref.permute(0, 2, 3, 1).numpy(), atol=1e-5)
+
+
+def test_packed_resample_matches_4gather_oracle(rng):
+    """The row-pair-packed production resample (2 gathers) is exactly the
+    4-gather composition — values and gradients wrt image AND coords,
+    including every out-of-bounds regime (tools/microbench_warp_packed.py
+    measured it 2.06x faster on v5e)."""
+    from simpledepthestimation_tpu.ops.resample import _resample_bilinear_4gather
+
+    B, H, W, C = 2, 17, 23, 3
+    img = rng.rand(B, H, W, C).astype(np.float32)
+    # coords spanning far-OOB, edge straddling, and interior
+    x = (rng.rand(B, 12, 14).astype(np.float32) * (W + 8)) - 4.0
+    y = (rng.rand(B, 12, 14).astype(np.float32) * (H + 8)) - 4.0
+
+    args = (jnp.asarray(img), jnp.asarray(x), jnp.asarray(y))
+    out_p = np.asarray(resample_bilinear(*args))
+    out_4 = np.asarray(_resample_bilinear_4gather(*args))
+    np.testing.assert_allclose(out_p, out_4, atol=1e-6)
+
+    def loss(fn):
+        return lambda i, xx, yy: jnp.sum(fn(i, xx, yy) ** 2)
+
+    gp = jax.grad(loss(resample_bilinear), argnums=(0, 1, 2))(*args)
+    g4 = jax.grad(loss(_resample_bilinear_4gather), argnums=(0, 1, 2))(*args)
+    for a, b in zip(gp, g4):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

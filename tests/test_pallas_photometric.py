@@ -10,9 +10,42 @@ import jax.numpy as jnp
 from simpledepthestimation_tpu.ops.pallas_photometric import (
     photometric_map_reference,
     photometric_map_fused,
+    photometric_vjp_reference,
+    _pallas_backward,
     _pallas_forward,
     _pallas_forward_tiled,
 )
+
+
+def test_analytic_vjp_matches_autodiff(rng):
+    """The hand-derived backward (adjoint box-filter composition) equals
+    jax.vjp of the forward composition (VERDICT r1 item 6)."""
+    a = jnp.asarray(rng.rand(2, 24, 32, 3).astype(np.float32))
+    b = jnp.asarray(rng.rand(2, 24, 32, 3).astype(np.float32))
+    g = jnp.asarray(rng.randn(2, 24, 32, 1).astype(np.float32))
+
+    for alpha, C1, C2 in ((0.85, 1e-4, 9e-4), (0.5, 1e-2, 9e-2)):
+        _, vjp = jax.vjp(
+            lambda x, y: photometric_map_reference(x, y, alpha, C1, C2), a, b
+        )
+        ga_ref, gb_ref = vjp(g)
+        ga, gb = photometric_vjp_reference(a, b, g, alpha, C1, C2)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(ga_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_ref), atol=1e-5)
+
+
+def test_backward_kernel_matches_autodiff_interpret(rng):
+    """The fused Pallas backward kernel (interpret mode) equals jax.vjp of
+    the forward composition, including the boundary-fold rows/cols."""
+    a = jnp.asarray(rng.rand(2, 16, 24, 3).astype(np.float32))
+    b = jnp.asarray(rng.rand(2, 16, 24, 3).astype(np.float32))
+    g = jnp.asarray(rng.randn(2, 16, 24, 1).astype(np.float32))
+    alpha, C1, C2 = 0.85, 1e-4, 9e-4
+    _, vjp = jax.vjp(lambda x, y: photometric_map_reference(x, y, alpha, C1, C2), a, b)
+    ga_ref, gb_ref = vjp(g)
+    ga, gb = _pallas_backward(a, b, g, alpha, C1, C2, interpret=True)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ga_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_ref), atol=1e-5)
 
 
 def test_kernel_matches_oracle_interpret(rng):

@@ -20,11 +20,13 @@ CASES = [
     ("Supervised-R18", "SupDepthModel", {"NAME": "DepthResNet", "ENCODER_NAME": "18"}, False, 8, 192, 640),
     ("BTS-R50", "SupDepthModel", {"NAME": "BtsModel", "ENCODER_NAME": "resnet50_bts"}, False, 8, 192, 640),
     ("MonoDepth2-R18", "MonoDepth2Model", {"NAME": "DepthResNet", "ENCODER_NAME": "18"}, True, 24, 192, 640),
-    ("PackNet-1A", "MonoDepth2Model", {"NAME": "PackNet01", "VERSION": "1A"}, True, 8, 96, 320),
+    # reference shapes: packnet_1a.yaml trains 192x640 B=8; MotionLearning
+    # Base.yaml trains 128x416 B=16
+    ("PackNet-1A", "MonoDepth2Model", {"NAME": "PackNet01", "VERSION": "1A"}, True, 8, 192, 640),
     ("MotionLearning-R18", "MotionLearningModel",
      {"NAME": "GoogleResNet", "ENCODER_NAME": "18", "NORM": "randLN", "NOISE_STDDEV": 0.5,
       "RAMPUP_ITERS": 100, "UPSAMPLE_DEPTH": False, "LEARN_SCALE": False},
-     "motion", 8, 128, 416),
+     "motion", 16, 128, 416),
 ]
 
 
@@ -123,11 +125,24 @@ def bench_case(name, meta, dn, pose, B, H, W):
 
 
 def main():
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--family", default="", help="run only this family (prefix match)")
+    p.add_argument(
+        "--sweep", default="", help="comma-separated batch sizes to sweep (per family)"
+    )
+    args = p.parse_args()
+
     from simpledepthestimation_tpu.engine.defaults import enable_compilation_cache
 
     enable_compilation_cache()
     for case in CASES:
-        bench_case(*case)
+        name, meta, dn, pose, B, H, W = case
+        if args.family and not name.lower().startswith(args.family.lower()):
+            continue
+        for b in ([int(x) for x in args.sweep.split(",")] if args.sweep else [B]):
+            bench_case(name, meta, dn, pose, b, H, W)
 
 
 if __name__ == "__main__":

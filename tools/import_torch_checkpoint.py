@@ -76,6 +76,13 @@ def main():
     args = p.parse_args()
     args.resume = False
 
+    import jax
+
+    # conversion needs no accelerator (only model.init); honor JAX_PLATFORMS
+    # explicitly — some TPU plugins (axon) ignore the env var
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     from simpledepthestimation_tpu.engine.defaults import assemble_cfg
     from simpledepthestimation_tpu.engine.checkpoint import Checkpointer
     from simpledepthestimation_tpu.models import build_model
@@ -83,7 +90,6 @@ def main():
     from simpledepthestimation_tpu.parallel import create_train_state
     from simpledepthestimation_tpu.solver import build_optimizer
 
-    import jax
     import torch
 
     cfg = assemble_cfg(args)
@@ -107,7 +113,8 @@ def main():
         batch_stats=variables.get("batch_stats", state.batch_stats),
     )
     ckptr = Checkpointer(args.output)
-    ckptr.save(args.epoch, state, {"imported_from": os.path.abspath(args.weights)})
+    # meta must be numeric (orbax StandardSave rejects strings)
+    ckptr.save(args.epoch, state)
     print(f"imported {args.weights} -> {os.path.abspath(args.output)} (epoch {args.epoch})")
 
 
