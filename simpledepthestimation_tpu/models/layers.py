@@ -121,7 +121,9 @@ class RandLayerNorm(nn.Module):
         if train and rng is not None:
             noise_m = jax.random.normal(jax.random.fold_in(rng, 0), mean.shape, x.dtype)
             noise_v = jax.random.normal(jax.random.fold_in(rng, 1), var.shape, x.dtype)
-            two_sig = stddev * 2.0
+            # fmod(0, 0) is NaN and the MotionLearning ramp starts at
+            # stddev 0 (traced, so no python branch) — guard the divisor
+            two_sig = jnp.maximum(stddev * 2.0, jnp.finfo(x.dtype).tiny)
             mean = mean * (1.0 + jnp.fmod(noise_m * stddev, two_sig))
             var = var * (1.0 + jnp.fmod(noise_v * stddev, two_sig))
 

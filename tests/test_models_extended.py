@@ -151,6 +151,23 @@ def test_google_resnet_randln(rng):
     assert not np.allclose(np.asarray(out_a[0]), np.asarray(out_b[0]))
 
 
+def test_rand_layer_norm_zero_stddev_finite(rng):
+    # The MotionLearning noise ramp starts at stddev 0 (a traced scalar);
+    # fmod(x, 0) is NaN, so train-mode output must stay finite and match
+    # the noise-free statistics exactly at stddev 0.
+    from simpledepthestimation_tpu.models.layers import RandLayerNorm
+
+    ln = RandLayerNorm()
+    x = jnp.asarray(rng.rand(2, 8, 12, 5).astype(np.float32))
+    variables = ln.init(jax.random.PRNGKey(0), x)
+    noisy = ln.apply(
+        variables, x, stddev=jnp.float32(0.0), rng=jax.random.PRNGKey(1), train=True
+    )
+    clean = ln.apply(variables, x, train=False)
+    assert np.isfinite(np.asarray(noisy)).all()
+    np.testing.assert_allclose(np.asarray(noisy), np.asarray(clean), rtol=1e-6)
+
+
 def test_google_resnet_v2(rng):
     cfg = get_cfg()
     cfg.MODEL.DEPTH_NET.NAME = "GoogleResNetv2"
