@@ -1,0 +1,131 @@
+"""Banded MXU warp kernel vs the exact gather oracle (interpret mode on CPU;
+the same kernel compiles natively on TPU).
+
+The kernel replaces the gather at the heart of view_synthesis (reference
+detectron2/geometry/camera.py:196 ``F.grid_sample``) with one-hot matmuls
+over a banded row window; these tests pin (a) exact forward parity inside
+the band including zeros-padding corners, (b) coordinate and image
+gradients vs the oracle, (c) the violation flag + exact-gather fallback.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from simpledepthestimation_tpu.ops.pallas_warp import (
+    eligible,
+    warp_banded,
+    warp_banded_raw,
+)
+from simpledepthestimation_tpu.ops.resample import _resample_bilinear_4gather
+
+BAND = dict(band_up=8, band_dn=7)  # Tband = 8+8+7+1 = 24
+
+
+def ego_coords(rng, B, H, W, dy=4.0, dx=6.0, oob_x=False):
+    """Near-diagonal coordinates like an ego-motion warp produces."""
+    xs = np.tile(np.arange(W, dtype=np.float32), (B, H, 1))
+    ys = np.tile(np.arange(H, dtype=np.float32)[:, None], (B, 1, W))
+    x = xs + dx * (rng.rand(B, H, W).astype(np.float32) - 0.5)
+    y = ys + dy * (rng.rand(B, H, W).astype(np.float32) - 0.5)
+    if oob_x:
+        x[:, :, :2] = -1.5  # fades out via zeros padding
+        x[:, :, -2:] = W + 0.25
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_forward_matches_oracle_interpret(rng):
+    B, H, W, C = 2, 16, 32, 3
+    img = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    x, y = ego_coords(rng, B, H, W, oob_x=True)
+    ref = np.asarray(_resample_bilinear_4gather(img, x, y))
+    out, viol = warp_banded_raw(img, x, y, interpret=True, **BAND)
+    assert not bool(viol)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_top_bottom_edge_zeros_padding(rng):
+    """y corners just outside the image (but inside the band window) must
+    fade to zero exactly as grid_sample's zeros padding."""
+    B, H, W, C = 1, 16, 32, 2
+    img = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    xs = np.tile(np.arange(W, dtype=np.float32), (B, H, 1))
+    ys = np.tile(np.arange(H, dtype=np.float32)[:, None], (B, 1, W))
+    y = ys.copy()
+    y[:, 0] = -0.75   # top row samples above the image
+    y[:, -1] = H - 0.5  # bottom row samples below
+    x, y = jnp.asarray(xs), jnp.asarray(y)
+    ref = np.asarray(_resample_bilinear_4gather(img, x, y))
+    out, viol = warp_banded_raw(img, x, y, interpret=True, **BAND)
+    assert not bool(viol)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_gradients_match_oracle(rng):
+    B, H, W, C = 2, 16, 32, 3
+    img = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    x, y = ego_coords(rng, B, H, W)
+
+    def loss_banded(im, xx, yy):
+        return jnp.sum(warp_banded(im, xx, yy, interpret=True, **BAND) ** 2)
+
+    def loss_oracle(im, xx, yy):
+        return jnp.sum(_resample_bilinear_4gather(im, xx, yy) ** 2)
+
+    g = jax.grad(loss_banded, argnums=(0, 1, 2))(img, x, y)
+    g_ref = jax.grad(loss_oracle, argnums=(0, 1, 2))(img, x, y)
+    for got, ref, name in zip(g, g_ref, ("image", "x", "y")):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-4, err_msg=name
+        )
+
+
+def test_violation_triggers_exact_fallback(rng):
+    """A vertical displacement beyond the band must flip the violation flag
+    and route to the exact gather path (identical output and gradients)."""
+    B, H, W, C = 1, 32, 32, 3
+    img = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    x, y = ego_coords(rng, B, H, W)
+    y = y.at[0, 0, :].set(20.0)  # row 0 sampling row 20: far outside band_dn=7
+
+    _, viol = warp_banded_raw(img, x, y, interpret=True, **BAND)
+    assert bool(viol)
+
+    out = warp_banded(img, x, y, interpret=True, **BAND)
+    ref = _resample_bilinear_4gather(img, x, y)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    g = jax.grad(
+        lambda xx: jnp.sum(warp_banded(img, xx, y, interpret=True, **BAND) ** 2)
+    )(x)
+    g_ref = jax.grad(
+        lambda xx: jnp.sum(_resample_bilinear_4gather(img, xx, y) ** 2)
+    )(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=2e-4)
+
+
+def test_bf16_dot_is_close(rng):
+    """bf16 one-hot matmuls: indicators are exact in bf16; only the interp
+    weights lose mantissa, bounding the error at ~1e-2 of the value scale."""
+    B, H, W, C = 1, 16, 32, 3
+    img = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    x, y = ego_coords(rng, B, H, W)
+    ref = np.asarray(_resample_bilinear_4gather(img, x, y))
+    out, viol = warp_banded_raw(
+        img, x, y, dot_dtype=jnp.bfloat16, interpret=True, **BAND
+    )
+    assert not bool(viol)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-2)
+
+
+def test_eligibility():
+    img = jnp.zeros((2, 16, 128, 3))
+    ok = jnp.zeros((2, 16, 128))
+    assert eligible(img, ok, ok)
+    assert not eligible(img, jnp.zeros((2, 8, 128)), ok)  # resolution mismatch
+    assert not eligible(jnp.zeros((2, 12, 128, 3)), jnp.zeros((2, 12, 128)),
+                        jnp.zeros((2, 12, 128)))  # H % 8
+    assert not eligible(jnp.zeros((2, 16, 100, 3)), jnp.zeros((2, 16, 100)),
+                        jnp.zeros((2, 16, 100)))  # W % 128

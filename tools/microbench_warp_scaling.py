@@ -66,7 +66,7 @@ def run():
         return dt
 
     results = {}
-    for B in (16, 48):
+    for B in (16, 24, 32, 48):
         img = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
         for kind in ("ego", "rand"):
             x, y = make_coords(np.random.RandomState(1), B, H, W, kind)
