@@ -90,6 +90,10 @@ _C.TPU.COMPUTE_DTYPE = "bfloat16"
 _C.TPU.DONATE = True
 # Use jax.checkpoint (remat) on encoder blocks to trade FLOPs for HBM.
 _C.TPU.REMAT = False
+# Warp backend for view-synthesis resampling: "auto" (banded MXU Pallas
+# kernel on TPU, measured-fastest gather otherwise), "banded", "banded_f32"
+# (exact 3-pass matmuls), or "gather". PARITY.STRICT forces "gather".
+_C.TPU.WARP_IMPL = "auto"
 
 # Strict reference-parity mode: restores reference behaviors behind our
 # intentional divergences so a metric gap can be bisected — batch-level flip

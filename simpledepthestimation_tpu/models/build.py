@@ -34,5 +34,12 @@ def build_pose_net(cfg):
 
 def build_model(cfg):
     """Build the meta-architecture module named by cfg.MODEL.META_ARCHITECTURE."""
+    from ..ops.resample import set_warp_impl
+
+    if bool(cfg.get("PARITY", {}).get("STRICT", False)):
+        # strict parity: pure gather warp (bit-compatible with grid_sample)
+        set_warp_impl("gather")
+    else:
+        set_warp_impl(str(cfg.TPU.get("WARP_IMPL", "auto")))
     meta_arch = cfg.MODEL.META_ARCHITECTURE
     return META_ARCH_REGISTRY.get(meta_arch).from_cfg(cfg)

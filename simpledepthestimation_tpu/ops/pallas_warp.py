@@ -311,16 +311,31 @@ def _call_bwd_coords(image, x, y, ct, band_up, band_dn, dot_dtype, interpret=Fal
 
 
 def eligible(image, x, y) -> bool:
-    """Kernel applicability: same-resolution warp, 8-aligned rows,
-    lane-aligned width, and a real TPU backend."""
+    """Kernel applicability: a same-resolution warp (coords per output pixel
+    of the input plane).  Alignment is NOT required — :func:`warp_banded`
+    zero-pads rows to ×8 and lanes to ×128 (padded coords sample at −2.0,
+    i.e. produce zeros that are sliced away)."""
     B, H, W, C = image.shape
-    return (
-        x.shape == (B, H, W)
-        and y.shape == (B, H, W)
-        and H % TILE_H == 0
-        and W % 128 == 0
-        and H >= TILE_H
-    )
+    return x.shape == (B, H, W) and y.shape == (B, H, W)
+
+
+def _ceil_to(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _pad_align(image, x, y):
+    """Zero-pad (image, x, y) to TPU-aligned [B, H8, W128] shapes."""
+    B, H, W, C = image.shape
+    Hp, Wp = _ceil_to(H, TILE_H), _ceil_to(W, 128)
+    if (Hp, Wp) == (H, W):
+        return image, x, y
+    image = jnp.pad(image, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+    pad_c = ((0, 0), (0, Hp - H), (0, Wp - W))
+    # -2.0 is fully outside the image: both corners miss every iota row/col,
+    # so padded outputs are exact zeros and never raise the violation flag
+    x = jnp.pad(x, pad_c, constant_values=-2.0)
+    y = jnp.pad(y, pad_c, constant_values=-2.0)
+    return image, x, y
 
 
 def warp_banded_raw(image, x, y, band_up=24, band_dn=31, dot_dtype=jnp.float32,
@@ -377,16 +392,19 @@ def warp_banded(image, x, y, band_up=24, band_dn=31, dot_dtype=jnp.float32,
     ``lax.cond`` recomputes the whole plane with the exact gather path so
     the result is ALWAYS exact, never approximated.
     """
+    B, H, W, _ = image.shape
+    imgp, xp, yp = _pad_align(image, x, y)
     out, viol_any = _warp_banded_prim(
-        image, x, y, band_up, band_dn, dot_dtype, interpret
+        imgp, xp, yp, band_up, band_dn, dot_dtype, interpret
     )
-    out = out.astype(image.dtype)
+    out = out[:, :H, :W].astype(image.dtype)
 
-    from .resample import resample_bilinear
+    # NOT resample_bilinear: that is the router that may route back here
+    from .resample import _resample_gather_auto
 
     return jax.lax.cond(
         viol_any,
-        lambda im, xx, yy, _o: resample_bilinear(im, xx, yy),
+        lambda im, xx, yy, _o: _resample_gather_auto(im, xx, yy),
         lambda im, xx, yy, o: o,
         image, x, y, out,
     )

@@ -29,7 +29,37 @@ detectron2/geometry/camera.py:196) and of the TF-style gather resampler
 
 from __future__ import annotations
 
+import math
+
+import jax
 import jax.numpy as jnp
+
+# Warp implementation selector (trace-time constant; set from cfg at model
+# build via :func:`set_warp_impl`):
+#   auto       — banded MXU kernel (bf16 one-hot matmuls) on TPU for
+#                full-plane warps, size-routed gather otherwise
+#   banded     — like auto (explicit)
+#   banded_f32 — banded kernel with f32 (3-pass) matmuls: exact to 2e-7
+#   gather     — pure gather formulations (PARITY.STRICT forces this)
+_WARP_IMPL = "auto"
+_WARP_IMPLS = ("auto", "gather", "banded", "banded_f32")
+
+# Measured v5e crossover (tools/microbench_warp_scaling.py): the row-pair
+# packed gather wins below ~2.5M indices (2.06x at 2.0M), loses above
+# (0.69x at 5.9M — the 6-wide slices stop amortizing the per-index cost
+# once the gather outgrows some on-chip resource).
+_PACKED_MAX_INDICES = 2_500_000
+# Below this width the banded kernel's per-tile overhead and pad-to-128
+# waste outweigh the gather; every production warp plane is >= 320 wide.
+_BANDED_MIN_W = 256
+
+
+def set_warp_impl(impl: str) -> None:
+    """Select the warp backend (module-level, read at trace time)."""
+    global _WARP_IMPL
+    if impl not in _WARP_IMPLS:
+        raise ValueError(f"warp impl {impl!r} not in {_WARP_IMPLS}")
+    _WARP_IMPL = impl
 
 
 def _gather_corner(
@@ -80,20 +110,49 @@ def _resample_bilinear_4gather(image, x, y):
     return out.reshape((B,) + out_shape + (C,))
 
 
+def _resample_gather_auto(
+    image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
+) -> jnp.ndarray:
+    """Gather-formulation warp, routed by index count (measured v5e
+    crossover — module docstring)."""
+    n_indices = image.shape[0] * math.prod(x.shape[1:])
+    if n_indices > _PACKED_MAX_INDICES:
+        return _resample_bilinear_4gather(image, x, y)
+    return _resample_bilinear_packed(image, x, y)
+
+
 def resample_bilinear(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Bilinear sample of NHWC ``image`` at unnormalized pixel coords.
 
     image: [B, H, W, C]; x, y: [B, h, w] float pixel coordinates.
     Out-of-bounds contributions are zero (padding_mode='zeros'): every
     corner is masked individually, so partially-outside samples fade out
-    exactly as grid_sample does.
+    exactly as grid_sample does — bit-compatible with the reference's
+    ``F.grid_sample`` (detectron2/geometry/camera.py:196).
 
-    Row-pair packed formulation (2.06× the 4-gather on v5e — module
-    docstring): gather (v_y0 | v_y1) per x-corner from the row-pair-packed
-    image. The y anchor is clamped to [0, H−1]; an in-packed ``where``
-    repairs the top-edge clamp (y0 = −1 reads its y1 corner from packed
-    slot 0), the bottom zero pad covers y0 = H−1, and per-corner masks
-    zero every out-of-bounds contribution.
+    Routing (see module docstring + :func:`set_warp_impl`): full-plane
+    warps on TPU go to the banded MXU kernel (ops/pallas_warp.py, 3-5x the
+    gathers at production shapes, exact-gather fallback on band violation);
+    everything else to the measured-fastest gather formulation.
+    """
+    if _WARP_IMPL != "gather" and image.shape[2] >= _BANDED_MIN_W:
+        from . import pallas_warp
+
+        if pallas_warp.eligible(image, x, y) and jax.default_backend() == "tpu":
+            dd = jnp.float32 if _WARP_IMPL == "banded_f32" else jnp.bfloat16
+            return pallas_warp.warp_banded(image, x, y, dot_dtype=dd)
+    return _resample_gather_auto(image, x, y)
+
+
+def _resample_bilinear_packed(
+    image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
+) -> jnp.ndarray:
+    """Row-pair packed formulation (2.06× the 4-gather at ≤2.5M indices on
+    v5e — module docstring): gather (v_y0 | v_y1) per x-corner from the
+    row-pair-packed image. The y anchor is clamped to [0, H−1]; an
+    in-packed ``where`` repairs the top-edge clamp (y0 = −1 reads its y1
+    corner from packed slot 0), the bottom zero pad covers y0 = H−1, and
+    per-corner masks zero every out-of-bounds contribution.
     """
     B, H, W, C = image.shape
     out_shape = x.shape[1:]

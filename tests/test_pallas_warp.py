@@ -120,12 +120,74 @@ def test_bf16_dot_is_close(rng):
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-2)
 
 
+def test_unaligned_shapes_are_padded(rng):
+    """H not ×8 / W not ×128 goes through the zero-pad path (the 416-wide
+    MotionLearning plane case) and still matches the oracle, incl. grads."""
+    B, H, W, C = 1, 12, 40, 3
+    img = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    x, y = ego_coords(rng, B, H, W)
+    ref = np.asarray(_resample_bilinear_4gather(img, x, y))
+    out = warp_banded(img, x, y, interpret=True, **BAND)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    g = jax.grad(
+        lambda yy: jnp.sum(warp_banded(img, x, yy, interpret=True, **BAND) ** 2)
+    )(y)
+    g_ref = jax.grad(
+        lambda yy: jnp.sum(_resample_bilinear_4gather(img, x, yy) ** 2)
+    )(y)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=2e-4)
+
+
+def test_router_gather_paths(rng, monkeypatch):
+    """resample_bilinear routes by index count and honors set_warp_impl."""
+    from simpledepthestimation_tpu.ops import resample
+
+    B, H, W, C = 2, 8, 16, 3
+    img = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    x, y = ego_coords(rng, B, H, W, dy=2.0, dx=2.0)
+    ref = np.asarray(_resample_bilinear_4gather(img, x, y))
+
+    # below threshold: packed; above (forced): 4gather — identical results
+    for thresh in (10**9, 1):
+        monkeypatch.setattr(resample, "_PACKED_MAX_INDICES", thresh)
+        got = np.asarray(resample.resample_bilinear(img, x, y))
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    resample.set_warp_impl("gather")
+    try:
+        got = np.asarray(resample.resample_bilinear(img, x, y))
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+    finally:
+        resample.set_warp_impl("auto")
+
+    with pytest.raises(ValueError):
+        resample.set_warp_impl("texture_units")
+
+
+def test_strict_parity_forces_gather_impl():
+    from simpledepthestimation_tpu.config import get_cfg
+    from simpledepthestimation_tpu.models import build_model
+    from simpledepthestimation_tpu.ops import resample
+
+    cfg = get_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "SupDepthModel"
+    cfg.MODEL.DEPTH_NET.NAME = "DepthResNet"
+    cfg.MODEL.DEPTH_NET.ENCODER_NAME = "18"
+    cfg.PARITY.STRICT = True
+    try:
+        build_model(cfg)
+        assert resample._WARP_IMPL == "gather"
+    finally:
+        resample.set_warp_impl("auto")
+
+
 def test_eligibility():
     img = jnp.zeros((2, 16, 128, 3))
     ok = jnp.zeros((2, 16, 128))
     assert eligible(img, ok, ok)
     assert not eligible(img, jnp.zeros((2, 8, 128)), ok)  # resolution mismatch
-    assert not eligible(jnp.zeros((2, 12, 128, 3)), jnp.zeros((2, 12, 128)),
-                        jnp.zeros((2, 12, 128)))  # H % 8
-    assert not eligible(jnp.zeros((2, 16, 100, 3)), jnp.zeros((2, 16, 100)),
-                        jnp.zeros((2, 16, 100)))  # W % 128
+    # alignment is no longer an eligibility concern (padded internally)
+    assert eligible(jnp.zeros((2, 12, 100, 3)), jnp.zeros((2, 12, 100)),
+                    jnp.zeros((2, 12, 100)))
