@@ -94,6 +94,10 @@ _C.TPU.REMAT = False
 # kernel on TPU, measured-fastest gather otherwise), "banded", "banded_f32"
 # (exact 3-pass matmuls), or "gather". PARITY.STRICT forces "gather".
 _C.TPU.WARP_IMPL = "auto"
+# Banded-kernel row window (multiple of 8, >= 16): spread budget per 8-row
+# output tile is ~window-9 rows; tiles beyond it fall back to the exact
+# gather for that step. Larger = fewer fallbacks, ~linearly costlier matmul.
+_C.TPU.WARP_WINDOW = 64
 
 # Strict reference-parity mode: restores reference behaviors behind our
 # intentional divergences so a metric gap can be bisected — batch-level flip

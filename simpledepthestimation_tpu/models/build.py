@@ -40,6 +40,9 @@ def build_model(cfg):
         # strict parity: pure gather warp (bit-compatible with grid_sample)
         set_warp_impl("gather")
     else:
-        set_warp_impl(str(cfg.TPU.get("WARP_IMPL", "auto")))
+        set_warp_impl(
+            str(cfg.TPU.get("WARP_IMPL", "auto")),
+            window=int(cfg.TPU.get("WARP_WINDOW", 64)),
+        )
     meta_arch = cfg.MODEL.META_ARCHITECTURE
     return META_ARCH_REGISTRY.get(meta_arch).from_cfg(cfg)

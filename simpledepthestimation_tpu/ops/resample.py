@@ -54,12 +54,20 @@ _PACKED_MAX_INDICES = 2_500_000
 _BANDED_MIN_W = 256
 
 
-def set_warp_impl(impl: str) -> None:
+# Banded-kernel row window (cfg TPU.WARP_WINDOW): larger windows tolerate
+# more vertical spread per 8-row tile (fewer exact-gather fallback steps in
+# early training) at ~linear extra matmul cost.
+_WARP_WINDOW = 64
+
+
+def set_warp_impl(impl: str, window: int = None) -> None:
     """Select the warp backend (module-level, read at trace time)."""
-    global _WARP_IMPL
+    global _WARP_IMPL, _WARP_WINDOW
     if impl not in _WARP_IMPLS:
         raise ValueError(f"warp impl {impl!r} not in {_WARP_IMPLS}")
     _WARP_IMPL = impl
+    if window is not None:
+        _WARP_WINDOW = int(window)
 
 
 def _gather_corner(
@@ -140,7 +148,9 @@ def resample_bilinear(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp
 
         if pallas_warp.eligible(image, x, y) and jax.default_backend() == "tpu":
             dd = jnp.float32 if _WARP_IMPL == "banded_f32" else jnp.bfloat16
-            return pallas_warp.warp_banded(image, x, y, dot_dtype=dd)
+            return pallas_warp.warp_banded(
+                image, x, y, window=_WARP_WINDOW, dot_dtype=dd
+            )
     return _resample_gather_auto(image, x, y)
 
 

@@ -21,7 +21,7 @@ from simpledepthestimation_tpu.ops.pallas_warp import (
 )
 from simpledepthestimation_tpu.ops.resample import _resample_bilinear_4gather
 
-BAND = dict(band_up=8, band_dn=7)  # Tband = 8+8+7+1 = 24
+BAND = dict(window=24)
 
 
 def ego_coords(rng, B, H, W, dy=4.0, dx=6.0, oob_x=False):
@@ -88,7 +88,10 @@ def test_violation_triggers_exact_fallback(rng):
     B, H, W, C = 1, 32, 32, 3
     img = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
     x, y = ego_coords(rng, B, H, W)
-    y = y.at[0, 0, :].set(20.0)  # row 0 sampling row 20: far outside band_dn=7
+    # rows 0..7 (one tile) sample alternating rows 2 and 28: in-image row
+    # spread 27 > window budget -> violation
+    y = y.at[0, :8, ::2].set(2.0)
+    y = y.at[0, :8, 1::2].set(28.0)
 
     _, viol = warp_banded_raw(img, x, y, interpret=True, **BAND)
     assert bool(viol)
@@ -104,6 +107,24 @@ def test_violation_triggers_exact_fallback(rng):
         lambda xx: jnp.sum(_resample_bilinear_4gather(img, xx, y) ** 2)
     )(x)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=2e-4)
+
+
+def test_large_uniform_displacement_no_violation(rng):
+    """The random-init regime: depth ~0.2m everywhere displaces every pixel
+    ~25+ rows COHERENTLY. The dynamic window must follow the displacement
+    (no violation, exact result) — the static-band variant fell back to the
+    gather here and silently doubled the step cost."""
+    B, H, W, C = 1, 64, 32, 3
+    img = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    xs = np.tile(np.arange(W, dtype=np.float32), (B, H, 1))
+    ys = np.tile(np.arange(H, dtype=np.float32)[:, None], (B, 1, W))
+    x = jnp.asarray(xs + rng.randn(B, H, W).astype(np.float32))
+    y = jnp.asarray(np.clip(ys + 30.0 + 0.5 * rng.randn(B, H, W), 0, H - 1
+                            ).astype(np.float32))
+    ref = np.asarray(_resample_bilinear_4gather(img, x, y))
+    out, viol = warp_banded_raw(img, x, y, interpret=True, **BAND)
+    assert not bool(viol)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
 
 
 def test_bf16_dot_is_close(rng):

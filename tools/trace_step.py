@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Capture a jax.profiler trace of the flagship train step and print the
+top HLO ops by self time (xprof hlo_stats), attributing step time at op
+granularity — the ground truth the ablation benches approximate.
+
+Usage: python tools/trace_step.py [--scales N] [--outdir DIR]
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--outdir", default="/tmp/jax_trace")
+    p.add_argument("--scales", type=int, default=0)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--top", type=int, default=40)
+    args = p.parse_args()
+
+    import jax
+
+    from simpledepthestimation_tpu.engine.defaults import enable_compilation_cache
+    enable_compilation_cache()
+    from __graft_entry__ import _tiny_cfg, _train_batch
+    from simpledepthestimation_tpu.models import build_model
+    from simpledepthestimation_tpu.parallel import (
+        build_mesh, create_train_state, make_train_step, data_sharding,
+    )
+    from simpledepthestimation_tpu.solver import build_optimizer
+
+    cfg = _tiny_cfg("bfloat16")
+    if args.scales:
+        cfg.LOSS.NUM_SCALES = args.scales
+    B, H, W = args.batch, 192, 640
+    batch = {k: v for k, v in _train_batch(B, H, W).items() if hasattr(v, "shape")}
+
+    mesh = build_mesh(("data",), (len(jax.devices()),))
+    model = build_model(cfg)
+    opt, _ = build_optimizer(cfg, steps_per_epoch=100)
+    state = create_train_state(model, opt, batch, jax.random.PRNGKey(0))
+    step = make_train_step(model, opt, mesh, donate=True)
+    dsh = data_sharding(mesh)
+    dev = {k: jax.device_put(v, dsh) for k, v in batch.items()}
+    key = jax.random.PRNGKey(1)
+
+    for i in range(3):  # warmup/compile
+        state, m = step(state, dev, jax.random.fold_in(key, i))
+    jax.block_until_ready(m["total_loss"])
+
+    os.makedirs(args.outdir, exist_ok=True)
+    with jax.profiler.trace(args.outdir):
+        for i in range(3):
+            state, m = step(state, dev, jax.random.fold_in(key, 100 + i))
+        jax.block_until_ready(m["total_loss"])
+
+    planes = sorted(glob.glob(
+        os.path.join(args.outdir, "**", "*.xplane.pb"), recursive=True))
+    if not planes:
+        print("NO XPLANE CAPTURED", args.outdir)
+        return
+    path = planes[-1]
+    print("xplane:", path)
+
+    from xprof.convert import raw_to_tool_data
+
+    data, _ = raw_to_tool_data.xspace_to_tool_data([path], "hlo_stats^", {})
+    import gzip, io, csv, json
+
+    if isinstance(data, bytes):
+        try:
+            data = gzip.decompress(data)
+        except OSError:
+            pass
+        data = data.decode("utf-8", "replace")
+    try:
+        obj = json.loads(data)
+    except Exception:
+        obj = None
+    if obj is not None:
+        print(json.dumps(obj)[:4000])
+        return
+    rows = list(csv.reader(io.StringIO(data)))
+    hdr = rows[0]
+    print(",".join(hdr))
+    try:
+        t_idx = hdr.index("total_time")
+    except ValueError:
+        t_idx = None
+    body = rows[1:]
+    if t_idx is not None:
+        body.sort(key=lambda r: -float(r[t_idx] or 0))
+    for r in body[: args.top]:
+        print(",".join(r))
+
+
+if __name__ == "__main__":
+    main()
