@@ -3,9 +3,10 @@ the same kernel compiles natively on TPU).
 
 The kernel replaces the gather at the heart of view_synthesis (reference
 detectron2/geometry/camera.py:196 ``F.grid_sample``) with one-hot matmuls
-over a banded row window; these tests pin (a) exact forward parity inside
-the band including zeros-padding corners, (b) coordinate and image
-gradients vs the oracle, (c) the violation flag + exact-gather fallback.
+over two dynamically-placed half-windows; these tests pin (a) exact
+forward parity including zeros-padding corners, (b) coordinate and image
+gradients vs the oracle, (c) bimodal (border-clip) coverage, (d) the
+violation predicate + whole-plane-window escape.
 """
 
 import numpy as np
@@ -21,7 +22,7 @@ from simpledepthestimation_tpu.ops.pallas_warp import (
 )
 from simpledepthestimation_tpu.ops.resample import _resample_bilinear_4gather
 
-BAND = dict(window=24)
+BAND = dict(window=32)
 
 
 def ego_coords(rng, B, H, W, dy=4.0, dx=6.0, oob_x=False):
@@ -82,16 +83,32 @@ def test_gradients_match_oracle(rng):
         )
 
 
-def test_violation_triggers_exact_fallback(rng):
-    """A vertical displacement beyond the band must flip the violation flag
-    and route to the exact gather path (identical output and gradients)."""
-    B, H, W, C = 1, 32, 32, 3
+def test_bimodal_border_clip_no_violation(rng):
+    """The early-training clip regime: one tile samples rows clipped to
+    both image borders (bimodal). The two half-windows must cover both
+    clusters — no violation, exact result (a single min-anchored window
+    cannot span this without paying the whole-plane cost)."""
+    B, H, W, C = 1, 64, 32, 3
     img = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
     x, y = ego_coords(rng, B, H, W)
-    # rows 0..7 (one tile) sample alternating rows 2 and 28: in-image row
-    # spread 27 > window budget -> violation
-    y = y.at[0, :8, ::2].set(2.0)
-    y = y.at[0, :8, 1::2].set(28.0)
+    y = y.at[0, 8:16, ::2].set(0.0)       # clipped to the top border
+    y = y.at[0, 8:16, 1::2].set(H - 1.0)  # clipped to the bottom border
+    ref = np.asarray(_resample_bilinear_4gather(img, x, y))
+    out, viol = warp_banded_raw(img, x, y, interpret=True, **BAND)
+    assert not bool(viol)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_violation_routes_to_wide_window(rng):
+    """THREE distant row clusters in one tile overwhelm both half-windows:
+    the predicate must fire, and warp_banded must escape to the whole-plane
+    window pair with identical output and gradients."""
+    B, H, W, C = 1, 64, 32, 3
+    img = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    x, y = ego_coords(rng, B, H, W)
+    y = y.at[0, :8, ::3].set(2.0)
+    y = y.at[0, :8, 1::3].set(30.0)
+    y = y.at[0, :8, 2::3].set(60.0)
 
     _, viol = warp_banded_raw(img, x, y, interpret=True, **BAND)
     assert bool(viol)

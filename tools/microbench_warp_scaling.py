@@ -45,10 +45,24 @@ def run():
 
     from simpledepthestimation_tpu.engine.defaults import enable_compilation_cache
     enable_compilation_cache()
+    import jax.numpy as jnp
     from simpledepthestimation_tpu.ops.resample import (
-        resample_bilinear,
+        _resample_bilinear_packed,
         _resample_bilinear_4gather,
     )
+
+    def packed_chunked(img, x, y, max_idx=2_500_000):
+        """Split the batch into chunks small enough that the packed gather
+        stays in its linear regime, run them sequentially, concat."""
+        B, H, W, C = img.shape
+        per = max(1, max_idx // (H * W))
+        if per >= B:
+            return _resample_bilinear_packed(img, x, y)
+        outs = [
+            _resample_bilinear_packed(img[i:i + per], x[i:i + per], y[i:i + per])
+            for i in range(0, B, per)
+        ]
+        return jnp.concatenate(outs, axis=0)
 
     H, W, C = 192, 640, 3
     rng = np.random.RandomState(0)
@@ -73,7 +87,8 @@ def run():
             xy = jnp.stack([jnp.asarray(x), jnp.asarray(y)])
             for fname, f in (
                 ("4gather", _resample_bilinear_4gather),
-                ("packed", resample_bilinear),
+                ("packed", _resample_bilinear_packed),
+                ("packed_chunked", packed_chunked),
             ):
                 g = jax.jit(jax.grad(lambda c, f=f: jnp.sum(f(img, c[0], c[1]) ** 2)))
                 results[(B, kind, fname)] = timeit(f"B={B} {kind} {fname}", g, xy)
