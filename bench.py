@@ -44,9 +44,11 @@ def main():
     dtype = "bfloat16" if on_tpu else "float32"
     cfg = _tiny_cfg(dtype)
 
-    # B=24 is the measured per-chip sweet spot with the flat-gather warp
-    # (73.5 img/s vs 69.9 at B=16 and 46.0 at B=32 — docs/PERF.md)
-    B, H, W = (24, 192, 640) if on_tpu else (4, 64, 96)
+    # Per-chip batch sweet spot with the banded MXU warp kernel: throughput
+    # now scales with B (the round-1 gather cliff at B=32 is gone) —
+    # B=16/24/32/48 → 104.4/116.3/125.3/128.9 img/s (docs/PERF.md,
+    # tools/bench_flagship.py)
+    B, H, W = (48, 192, 640) if on_tpu else (4, 64, 96)
     batch = _train_batch(B, H, W)
 
     model = build_model(cfg)
