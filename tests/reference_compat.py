@@ -265,8 +265,13 @@ def install_reference_environment(reference_root="/root/reference"):
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.nn.Module.cuda = lambda self, *a, **k: self
 
+    # APPEND, never prepend: the repo's namespace packages (``projects``,
+    # ``tools``) share names with the reference's; prepending made a later
+    # ``from projects.MotionLearning.train import ...`` resolve to the
+    # REFERENCE's train.py (which imports real fvcore) once any parity test
+    # had run first in the same session.
     if reference_root not in sys.path:
-        sys.path.insert(0, reference_root)
+        sys.path.append(reference_root)
     _INSTALLED = True
 
 
