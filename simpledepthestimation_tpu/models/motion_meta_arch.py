@@ -241,23 +241,36 @@ class MotionLearningModel(nn.Module):
             else:
                 d1n, d2n = rd1, rd2
 
-            out12 = self._rgbd_consistency(rf1, rf2, d1n, d2n, rK, R_1to2, t_1to2)
-            out21 = self._rgbd_consistency(rf2, rf1, d2n, d1n, rK, R_2to1, t_2to1)
-            for out in (out12, out21):
-                for k, v in out.items():
-                    if "loss" in k:
-                        add(k, v * scale_w)
+            # Both directions batched through ONE warp + weighted-SSIM pass
+            # ([2B]: first half 1→2, second half 2→1) — fewer, larger kernels
+            # (PERF.md note 5). Each returned loss is the mean over the [2B]
+            # batch, i.e. the AVERAGE of the two directions; the reference
+            # sums them (MotionLearning.py:129-137), hence the ×2.
+            R_fwd = jnp.concatenate([R_1to2, R_2to1], 0)
+            t_fwd = jnp.concatenate([t_1to2, t_2to1], 0)
+            out = self._rgbd_consistency(
+                jnp.concatenate([rf1, rf2], 0),
+                jnp.concatenate([rf2, rf1], 0),
+                jnp.concatenate([d1n, d2n], 0),
+                jnp.concatenate([d2n, d1n], 0),
+                jnp.concatenate([rK, rK], 0),
+                R_fwd,
+                t_fwd,
+            )
+            for k, v in out.items():
+                if "loss" in k:
+                    add(k, 2.0 * v * scale_w)
 
             if self.rot_cycle_loss_w > 0 or self.trans_cycle_loss_w > 0:
-                for a, b, Ra, Rb, ta, tb in (
-                    (out12, out21, R_1to2, R_2to1, t_1to2, t_2to1),
-                    (out21, out12, R_2to1, R_1to2, t_2to1, t_1to2),
-                ):
-                    rot_loss, trans_loss = L.motion_consistency_loss(
-                        a["coords_A_in_B"], a["occlusion_mask"], Ra, Rb, ta, tb
-                    )
-                    add("rot_loss", rot_loss * scale_w * self.rot_cycle_loss_w)
-                    add("trans_loss", trans_loss * scale_w * self.trans_cycle_loss_w)
+                # batched cycle: half h pairs direction h with its reverse
+                R_bwd = jnp.concatenate([R_2to1, R_1to2], 0)
+                t_bwd = jnp.concatenate([t_2to1, t_1to2], 0)
+                rot_loss, trans_loss = L.motion_consistency_loss(
+                    out["coords_A_in_B"], out["occlusion_mask"],
+                    R_fwd, R_bwd, t_fwd, t_bwd,
+                )
+                add("rot_loss", 2.0 * rot_loss * scale_w * self.rot_cycle_loss_w)
+                add("trans_loss", 2.0 * trans_loss * scale_w * self.trans_cycle_loss_w)
 
             if motion is not None:
                 t1_scale = jnp.mean(t_1to2**2, axis=(1, 2, 3), keepdims=True) * 3.0

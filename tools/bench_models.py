@@ -19,7 +19,7 @@ CASES = [
     # (name, meta_arch, depth_net kwargs, pose?, B, H, W)
     ("Supervised-R18", "SupDepthModel", {"NAME": "DepthResNet", "ENCODER_NAME": "18"}, False, 8, 192, 640),
     ("BTS-R50", "SupDepthModel", {"NAME": "BtsModel", "ENCODER_NAME": "resnet50_bts"}, False, 8, 192, 640),
-    ("MonoDepth2-R18", "MonoDepth2Model", {"NAME": "DepthResNet", "ENCODER_NAME": "18"}, True, 24, 192, 640),
+    ("MonoDepth2-R18", "MonoDepth2Model", {"NAME": "DepthResNet", "ENCODER_NAME": "18"}, True, 48, 192, 640),
     # reference shapes: packnet_1a.yaml trains 192x640 B=8; MotionLearning
     # Base.yaml trains 128x416 B=16
     ("PackNet-1A", "MonoDepth2Model", {"NAME": "PackNet01", "VERSION": "1A"}, True, 8, 192, 640),
@@ -30,16 +30,12 @@ CASES = [
 ]
 
 
-def bench_case(name, meta, dn, pose, B, H, W):
+def make_case(meta, dn, pose, B, H, W):
+    """(cfg, host batch) for a family at a given shape — shared with
+    tools/trace_step.py so profiles hit the exact benched configuration."""
     import jax
-    import jax.numpy as jnp
 
-    from simpledepthestimation_tpu.config import CfgNode, get_cfg
-    from simpledepthestimation_tpu.models import build_model
-    from simpledepthestimation_tpu.parallel import (
-        build_mesh, create_train_state, make_train_step, data_sharding,
-    )
-    from simpledepthestimation_tpu.solver import build_optimizer
+    from simpledepthestimation_tpu.config import get_cfg
 
     cfg = get_cfg()
     cfg.MODEL.META_ARCHITECTURE = meta
@@ -94,7 +90,19 @@ def bench_case(name, meta, dn, pose, B, H, W):
     if pose == "motion":
         batch["noise_stddev"] = np.float32(0.1)
         batch["motion_weight"] = np.float32(1.0)
+    return cfg, batch
 
+
+def bench_case(name, meta, dn, pose, B, H, W):
+    import jax
+
+    from simpledepthestimation_tpu.models import build_model
+    from simpledepthestimation_tpu.parallel import (
+        build_mesh, create_train_state, make_train_step, data_sharding,
+    )
+    from simpledepthestimation_tpu.solver import build_optimizer
+
+    cfg, batch = make_case(meta, dn, pose, B, H, W)
     model = build_model(cfg)
     optimizer, _ = build_optimizer(cfg, steps_per_epoch=100)
     mesh = build_mesh(("data",), (len(jax.devices()),))

@@ -20,34 +20,55 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--outdir", default="/tmp/jax_trace")
     p.add_argument("--scales", type=int, default=0)
-    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--batch", type=int, default=0)
     p.add_argument("--top", type=int, default=40)
+    p.add_argument("--family", default="",
+                   help="bench_models CASES family (prefix); default flagship")
     args = p.parse_args()
 
     import jax
 
     from simpledepthestimation_tpu.engine.defaults import enable_compilation_cache
     enable_compilation_cache()
-    from __graft_entry__ import _tiny_cfg, _train_batch
     from simpledepthestimation_tpu.models import build_model
     from simpledepthestimation_tpu.parallel import (
         build_mesh, create_train_state, make_train_step, data_sharding,
     )
     from simpledepthestimation_tpu.solver import build_optimizer
 
-    cfg = _tiny_cfg("bfloat16")
-    if args.scales:
-        cfg.LOSS.NUM_SCALES = args.scales
-    B, H, W = args.batch, 192, 640
-    batch = {k: v for k, v in _train_batch(B, H, W).items() if hasattr(v, "shape")}
+    if args.family:
+        from tools.bench_models import CASES, make_case
+
+        case = next(c for c in CASES
+                    if c[0].lower().startswith(args.family.lower()))
+        name, meta, dn, pose, B, H, W = case
+        if args.batch:
+            B = args.batch
+        cfg, batch = make_case(meta, dn, pose, B, H, W)
+        print(f"tracing {name} B={B} {H}x{W}")
+    else:
+        from __graft_entry__ import _tiny_cfg, _train_batch
+
+        cfg = _tiny_cfg("bfloat16")
+        if args.scales:
+            cfg.LOSS.NUM_SCALES = args.scales
+        B, H, W = args.batch or 16, 192, 640
+        batch = _train_batch(B, H, W)
+    batch = {k: v for k, v in batch.items() if hasattr(v, "shape")}
 
     mesh = build_mesh(("data",), (len(jax.devices()),))
     model = build_model(cfg)
     opt, _ = build_optimizer(cfg, steps_per_epoch=100)
     state = create_train_state(model, opt, batch, jax.random.PRNGKey(0))
     step = make_train_step(model, opt, mesh, donate=True)
+    from simpledepthestimation_tpu.parallel.mesh import replicated
+
     dsh = data_sharding(mesh)
-    dev = {k: jax.device_put(v, dsh) for k, v in batch.items()}
+    rep = replicated(mesh)
+    dev = {
+        k: jax.device_put(v, dsh if np.ndim(v) >= 1 else rep)
+        for k, v in batch.items()
+    }
     key = jax.random.PRNGKey(1)
 
     for i in range(3):  # warmup/compile
