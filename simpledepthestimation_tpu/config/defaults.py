@@ -98,6 +98,11 @@ _C.TPU.WARP_IMPL = "auto"
 # output tile is ~window-9 rows; tiles beyond it fall back to the exact
 # gather for that step. Larger = fewer fallbacks, ~linearly costlier matmul.
 _C.TPU.WARP_WINDOW = 64
+# PackNet packed-3D-conv backend: "ndhwc" (literal 1-input-channel 3D conv)
+# or "blocked" (depth band embedded in a dense 2D conv over channel blocks
+# of CONV3D_BLOCK — MXU-sized contractions; see tools/microbench_conv3d.py).
+_C.TPU.CONV3D_IMPL = "ndhwc"
+_C.TPU.CONV3D_BLOCK = 30
 
 # Strict reference-parity mode: restores reference behaviors behind our
 # intentional divergences so a metric gap can be bisected — batch-level flip

@@ -44,5 +44,11 @@ def build_model(cfg):
             str(cfg.TPU.get("WARP_IMPL", "auto")),
             window=int(cfg.TPU.get("WARP_WINDOW", 64)),
         )
+    from .packnet import set_conv3d_impl
+
+    set_conv3d_impl(
+        str(cfg.TPU.get("CONV3D_IMPL", "ndhwc")),
+        block=int(cfg.TPU.get("CONV3D_BLOCK", 30)),
+    )
     meta_arch = cfg.MODEL.META_ARCHITECTURE
     return META_ARCH_REGISTRY.get(meta_arch).from_cfg(cfg)

@@ -122,6 +122,74 @@ class InvDepth(nn.Module):
         return nn.sigmoid(x.astype(jnp.float32)) / self.min_depth
 
 
+# 3D-conv-over-packed-dim backend. The op is a torch ``Conv3d(1, d, 3)``:
+# ONE input channel, d=8 output channels — as a literal NDHWC conv its MXU
+# contraction is 27×1 elements (≈1-2% tile utilization). The "blocked"
+# formulation re-expresses the depth-banded structure as a dense 2D conv
+# over channel blocks of G with a 1-channel halo: contraction 9·(G+2),
+# outputs G·d — real MXU tiles at ~(G+2)/3× redundant FLOPs (the band is
+# embedded in a dense kernel). Routing is measured, not assumed: see
+# tools/microbench_conv3d.py.
+_CONV3D_IMPL = "ndhwc"
+_CONV3D_BLOCK = 30
+
+
+def set_conv3d_impl(impl: str, block: Optional[int] = None) -> None:
+    """Select the packed-3D-conv backend ('ndhwc' | 'blocked'), module-level,
+    read at trace time."""
+    global _CONV3D_IMPL, _CONV3D_BLOCK
+    if impl not in ("ndhwc", "blocked"):
+        raise ValueError(f"conv3d impl {impl!r} not in ('ndhwc', 'blocked')")
+    _CONV3D_IMPL = impl
+    if block is not None:
+        _CONV3D_BLOCK = int(block)
+
+
+def _conv3d_blocked_kernel(kernel: jnp.ndarray, G: int) -> jnp.ndarray:
+    """Embed the [3,3,3,1,d] depth-band kernel into a dense 2D conv kernel
+    [3, 3, G+2, G·d]: K2[dy,dx, cl+dz, cl·d+j] = K[dz,dy,dx,0,j]."""
+    d = kernel.shape[-1]
+    K2 = jnp.zeros((3, 3, G + 2, G * d), kernel.dtype)
+    cl = jnp.arange(G)
+    co = (cl * d)[:, None] + jnp.arange(d)[None]  # [G, d]
+    for dz in range(3):
+        K2 = K2.at[:, :, (cl + dz)[:, None], co].set(kernel[dz, :, :, 0, :][:, :, None, :])
+    return K2
+
+
+def _conv3d_over_packed_blocked(
+    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray, G: int
+) -> jnp.ndarray:
+    """Blocked-halo formulation of :func:`_conv3d_over_packed` (bit-equal up
+    to float reassociation; exactness-tested in tests/test_models.py).
+
+    Channel blocks of G with a 1-channel zero-padded halo on each side fold
+    into the batch axis; ONE dense [3,3,G+2,G·d] conv then computes every
+    depth tap as an MXU contraction instead of a 1-input-channel 3D conv.
+    """
+    B, H, W, C = x.shape
+    d = kernel.shape[-1]
+    nblk = -(-C // G)
+    Cp = nblk * G
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, Cp - C)))
+    xb = xp.reshape(B, H, W, nblk, G)
+    zero = jnp.zeros((B, H, W, 1, 1), x.dtype)
+    left = jnp.concatenate([zero, xb[..., :-1, G - 1 : G]], axis=3)
+    right = jnp.concatenate([xb[..., 1:, 0:1], zero], axis=3)
+    win = jnp.concatenate([left, xb, right], axis=-1)  # [B,H,W,nblk,G+2]
+    win = win.transpose(0, 3, 1, 2, 4).reshape(B * nblk, H, W, G + 2)
+    out = jax.lax.conv_general_dilated(
+        win,
+        _conv3d_blocked_kernel(kernel, G),
+        window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    out = out.reshape(B, nblk, H, W, G, d).transpose(0, 2, 3, 5, 1, 4)
+    out = out.reshape(B, H, W, d, Cp)[..., :C] + bias[..., None]
+    return out.reshape(B, H, W, d * C)
+
+
 def _conv3d_over_packed(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
     """3D conv treating the channel axis as depth: x [B,H,W,C] → [B,H,W,C·d].
 
@@ -133,6 +201,8 @@ def _conv3d_over_packed(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) 
     fixed-function PixelShuffle consumer in the unpack layer) line up
     exactly.
     """
+    if _CONV3D_IMPL == "blocked":
+        return _conv3d_over_packed_blocked(x, kernel, bias, _CONV3D_BLOCK)
     B, H, W, C = x.shape
     vol = x.transpose(0, 3, 1, 2)[..., None]  # [B, D=C, H, W, 1]
     out = jax.lax.conv_general_dilated(

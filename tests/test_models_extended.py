@@ -278,3 +278,38 @@ def test_motion_learning_meta_arch(rng):
 
     out = model.apply(variables, {"img": batch["img"]}, train=False)
     assert out["depth_pred"].shape == (B, H, W, 1)
+
+
+def test_conv3d_blocked_matches_ndhwc(rng):
+    """The blocked-halo MXU formulation of the packed 3D conv is numerically
+    equal to the literal NDHWC conv for every block size / channel-count
+    regime (divisible, non-divisible, C < G)."""
+    from simpledepthestimation_tpu.models.packnet import (
+        _conv3d_over_packed,
+        _conv3d_over_packed_blocked,
+    )
+
+    for C, G in [(8, 4), (24, 30), (13, 5), (64, 14)]:
+        x = jnp.asarray(rng.rand(2, 6, 10, C).astype(np.float32))
+        k = jnp.asarray(rng.randn(3, 3, 3, 1, 8).astype(np.float32))
+        b = jnp.asarray(rng.randn(8).astype(np.float32))
+        ref = np.asarray(_conv3d_over_packed(x, k, b))
+        got = np.asarray(_conv3d_over_packed_blocked(x, k, b, G))
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5), (C, G)
+
+
+def test_conv3d_blocked_gradients(rng):
+    from simpledepthestimation_tpu.models.packnet import (
+        _conv3d_over_packed,
+        _conv3d_over_packed_blocked,
+    )
+
+    x = jnp.asarray(rng.rand(1, 4, 6, 12).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 1, 8).astype(np.float32))
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+
+    g_ref = jax.grad(lambda k_: jnp.sum(jnp.sin(_conv3d_over_packed(x, k_, b))))(k)
+    g_blk = jax.grad(
+        lambda k_: jnp.sum(jnp.sin(_conv3d_over_packed_blocked(x, k_, b, 5)))
+    )(k)
+    np.testing.assert_allclose(np.asarray(g_blk), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
