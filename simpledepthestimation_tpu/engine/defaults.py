@@ -54,8 +54,20 @@ def default_argument_parser(epilog: Optional[str] = None) -> argparse.ArgumentPa
     return parser
 
 
+def honor_jax_platforms_env() -> None:
+    """Apply ``JAX_PLATFORMS`` explicitly: the axon TPU plugin ignores the
+    env var, so ``JAX_PLATFORMS=cpu python projects/.../train.py`` would
+    still grab (or hang on) the tunneled chip without this. Must run before
+    any other jax use."""
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
 def maybe_init_distributed(args) -> None:
     """Initialize JAX multi-host when coordinator flags are given."""
+    honor_jax_platforms_env()
     if args.coordinator and args.num_processes > 1:
         import jax
 

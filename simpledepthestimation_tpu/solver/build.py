@@ -129,16 +129,22 @@ def build_optimizer(cfg, steps_per_epoch: int) -> Tuple[optax.GradientTransforma
 
     if opt_name == "adamw_poly":
         base_lr = float(solver.DEPTH_LR)
-        end_lr = float(solver.get("END_LR", base_lr * 0.01))
+        # reference configs name this DEPTH_END_LR (projects/Supervised/
+        # configs/Base.yaml:42); END_LR kept as an alias for older repo yamls
+        end_lr = float(
+            solver.get("DEPTH_END_LR", solver.get("END_LR", base_lr * 0.1))
+        )
         wd = float(solver.get("WEIGHT_DECAY", 1e-2))
+        # reference projects/Supervised/train.py:82 builds AdamW(eps=1e-6)
+        eps = float(solver.get("EPS", 1e-6))
         sched = poly_lr_schedule(base_lr, end_lr, max_steps)
         label_fn = make_param_group_label_fn(
             {"encoder": ["encoder"]}, default="decoder"
         )
         tx = optax.multi_transform(
             {
-                "encoder": _adamw(sched, weight_decay=wd, eps=1e-8),
-                "decoder": _adamw(sched, weight_decay=0.0, eps=1e-8),
+                "encoder": _adamw(sched, weight_decay=wd, eps=eps),
+                "decoder": _adamw(sched, weight_decay=0.0, eps=eps),
             },
             label_fn,
         )
