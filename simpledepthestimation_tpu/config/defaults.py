@@ -64,6 +64,13 @@ _C.TEST.EVAL_PERIOD = 1
 # Eval batch size. 1 = the reference's timing protocol (data/build.py:130);
 # raising it speeds periodic eval when test images share one shape.
 _C.TEST.IMS_PER_BATCH = 1
+# Overlap periodic eval with the next epoch's training: the epoch-end eval
+# runs on a worker thread against a copied params/batch_stats snapshot, and
+# its metrics are logged when it finishes (at the next epoch boundary or at
+# end of training). Single-process only — under multi-host SPMD two threads
+# issuing collectives can interleave differently across processes and
+# deadlock, so world_size > 1 ignores this and evals synchronously.
+_C.TEST.ASYNC = False
 _C.TEST.GT_SCALE = False
 _C.TEST.MIN_DEPTH = 0.001
 _C.TEST.MAX_DEPTH = 80.0

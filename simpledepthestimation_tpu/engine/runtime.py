@@ -253,6 +253,25 @@ def do_train(
     # one compiled eval executable shared across every periodic eval
     shared_eval_step = make_eval_step(model, mesh) if eval_period > 0 else None
 
+    # TEST.ASYNC: run the epoch-end eval on a worker thread over a
+    # params/batch_stats snapshot so the next epoch's training overlaps it.
+    # The snapshot copies only the trees the eval executable consumes
+    # (make_eval_step passes params/batch_stats, never opt_state), because
+    # the donated train step invalidates the live state's buffers on its
+    # next call. Single-process only — two threads issuing collectives under
+    # multi-host SPMD can interleave differently across processes and hang.
+    async_eval = (
+        bool(cfg.TEST.get("ASYNC", False))
+        and eval_period > 0
+        and comm.get_world_size() == 1
+    )
+    eval_pool = None
+    pending_eval = None  # (iter_at_submit, future)
+    if async_eval:
+        from concurrent.futures import ThreadPoolExecutor
+
+        eval_pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="async-eval")
+
     base_key = jax.random.PRNGKey(seed + 777)
 
     # PARITY.STRICT: synchronous per-step finite-loss check (reference
@@ -260,6 +279,43 @@ def do_train(
     # costs a device sync per step, but aborts on the exact step like the
     # reference when bisecting a metric gap.
     strict_parity = bool(cfg.get("PARITY", {}).get("STRICT", False))
+
+    def log_eval_results(storage, results, at_iter):
+        if not results or not comm.is_main_process():
+            return
+        flat = {
+            f"{task}/{k}": float(v)
+            for task, ms in results.items()
+            if isinstance(ms, dict)
+            for k, v in ms.items()
+        }
+        if flat:
+            cur = storage.iter
+            storage.iter = at_iter
+            storage.put_scalars(**flat, smoothing_hint=False)
+            storage.iter = cur
+
+    eval_log_iter = -1  # last iter an async eval row was logged at
+
+    def join_pending_eval(storage):
+        """Block on the in-flight async eval and log its metrics. Rows are
+        stamped at a strictly-increasing iter ≥ the join-time iter: the
+        JSONWriter dedups on a monotonic last-written iter, so back-dating
+        to the snapshot step (or reusing a flushed iter) would silently drop
+        the row. Writers flush immediately so a later eval at the same live
+        iter can't overwrite this one in the latest-scalars table."""
+        nonlocal pending_eval, eval_log_iter
+        if pending_eval is None:
+            return
+        at_iter, future = pending_eval
+        pending_eval = None
+        # storage.iter at an epoch boundary points at the last *drained*
+        # step, which the periodic writes already flushed — stamping there
+        # (or lower) would be dropped by the monotonic skip, hence the +1.
+        eval_log_iter = max(at_iter, storage.iter + 1, eval_log_iter + 1)
+        log_eval_results(storage, future.result(), eval_log_iter)
+        for writer in writers:
+            writer.write()
 
     logger.info(f"Starting training from epoch {start_epoch}")
     with EventStorage(start_epoch * steps_per_epoch) as storage:
@@ -317,20 +373,32 @@ def do_train(
             periodic_ckpt.step(epoch, state)
 
             if eval_period > 0 and (epoch + 1) % eval_period == 0:
-                results = do_test(
-                    cfg, state=state, mesh=mesh, model=model,
-                    eval_step=shared_eval_step,
-                )
-                if results and comm.is_main_process():
-                    flat = {
-                        f"{task}/{k}": float(v)
-                        for task, ms in results.items()
-                        if isinstance(ms, dict)
-                        for k, v in ms.items()
-                    }
-                    if flat:
-                        storage.put_scalars(**flat, smoothing_hint=False)
+                if async_eval:
+                    import jax.numpy as jnp
+
+                    join_pending_eval(storage)  # at most one eval in flight
+                    snapshot = state.replace(
+                        params=jax.tree_util.tree_map(jnp.copy, state.params),
+                        batch_stats=jax.tree_util.tree_map(jnp.copy, state.batch_stats),
+                    )
+                    pending_eval = (
+                        step,
+                        eval_pool.submit(
+                            do_test, cfg, state=snapshot, mesh=mesh,
+                            model=model, eval_step=shared_eval_step,
+                        ),
+                    )
+                else:
+                    results = do_test(
+                        cfg, state=state, mesh=mesh, model=model,
+                        eval_step=shared_eval_step,
+                    )
+                    log_eval_results(storage, results, step)
             comm.synchronize()
+
+        join_pending_eval(storage)
+        if eval_pool is not None:
+            eval_pool.shutdown(wait=True)
 
         for writer in writers:
             writer.write()

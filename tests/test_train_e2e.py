@@ -135,3 +135,40 @@ def test_resume_continues_epoch(tmp_path):
     # resume from the saved final checkpoint: no more epochs to run, state intact
     state2 = do_train(cfg, resume=True)
     assert int(state2.step) == 4
+
+
+def test_async_eval_matches_sync(tmp_path):
+    """TEST.ASYNC overlaps epoch-end eval with the next epoch on a
+    params/batch_stats snapshot; the logged eval metrics must be identical
+    to the synchronous path (same seed → same states → same numbers), with
+    one eval row per epoch in both runs."""
+    import json
+
+    def run(async_flag, subdir):
+        cfg = _base_cfg(tmp_path / subdir, "SupDepthModel")
+        cfg.SOLVER.OPT = "adamw_poly"
+        cfg.SOLVER.DEPTH_LR = 1e-4
+        cfg.SOLVER.MAX_EPOCHS = 2
+        cfg.TEST.EVAL_PERIOD = 1
+        cfg.TEST.ASYNC = async_flag
+        cfg.VIS_PERIOD = 0
+        cfg.freeze()
+        do_train(cfg, resume=False)
+        rows = [
+            json.loads(l)
+            for l in open(os.path.join(cfg.OUTPUT_DIR, "metrics.json"))
+        ]
+        evals = [
+            {k: v for k, v in r.items() if k.startswith("kitti evaluator/")}
+            for r in rows
+            if any(k.startswith("kitti evaluator/") for k in r)
+        ]
+        return evals
+
+    sync_rows = run(False, "sync")
+    async_rows = run(True, "async")
+    assert len(sync_rows) == 2 and len(async_rows) == 2
+    for s, a in zip(sync_rows, async_rows):
+        assert set(s) == set(a)
+        for k in s:
+            np.testing.assert_allclose(a[k], s[k], rtol=1e-6, err_msg=k)
