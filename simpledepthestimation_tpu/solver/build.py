@@ -82,22 +82,54 @@ def _adam(lr_schedule, eps: float) -> optax.GradientTransformation:
     return optax.adam(lr_schedule, eps=eps)
 
 
-def freeze_substrings_from_cfg(cfg) -> Sequence[str]:
-    """Parameter paths to freeze (zero updates), from the BTS options
-    FIX_1ST_CONV / FIX_1ST_CONVS (reference BTSNet.py:388-413: the first conv
-    block(s) + all encoder BN affine params stay at their pretrained values).
+def _freeze_rule_matches(path_str: str, rule) -> bool:
+    """A rule is a substring, or a tuple of substrings that must ALL appear
+    (used to scope block-local names like ``/bn1/`` to the encoder subtree,
+    mirroring the reference's named_children 'encoder' scoping)."""
+    parts = (rule,) if isinstance(rule, str) else rule
+    return all(p in path_str for p in parts)
+
+
+def freeze_substrings_from_cfg(cfg) -> Sequence:
+    """Frozen-parameter rules mirroring the reference's ``set_misc``
+    (BTSNet.py:382-412), which BtsModel applies UNCONDITIONALLY at
+    construction: even with both FIX flags off it freezes the encoder stem
+    conv and every encoder BatchNorm affine pair ('fixing first conv
+    layer'); FIX_1ST_CONV / FIX_1ST_CONVS additionally freeze the first
+    one / two residual blocks. Torch's ``.bn`` substring does NOT match
+    torchvision's ``downsample.1`` BNs, so those stay trainable here too.
+    Other depth nets never call set_misc — no freezing outside BtsModel.
+    torchvision mobilenet_v2 parameter names contain neither 'conv0' nor
+    'norm', so the reference's substrings freeze nothing there — preserved.
     """
     dn = cfg.MODEL.get("DEPTH_NET", {})
-    frozen = []
-    if dn.get("FIX_1ST_CONVS", False):
-        frozen += ["encoder/conv1", "encoder/bn1", "encoder/layer1_0", "encoder/layer1_1"]
-    elif dn.get("FIX_1ST_CONV", False):
-        frozen += ["encoder/conv1", "encoder/bn1", "encoder/layer1_0"]
-    return frozen
+    if str(dn.get("NAME", "")) != "BtsModel":
+        return []
+    enc = str(dn.get("ENCODER_NAME", ""))
+    if enc.startswith("mobilenet"):
+        return []
+    if "resne" in enc:
+        rules = [
+            "encoder/conv1/",
+            ("encoder/", "/bn1/"),
+            ("encoder/", "/bn2/"),
+            ("encoder/", "/bn3/"),
+        ]
+        if dn.get("FIX_1ST_CONVS", False):
+            rules += ["encoder/layer1_0/", "encoder/layer1_1/"]
+        elif dn.get("FIX_1ST_CONV", False):
+            rules += ["encoder/layer1_0/"]
+    else:  # densenet: reference substrings ['conv0', 'norm', denselayers]
+        rules = ["encoder/conv0/", ("encoder/", "norm")]
+        if dn.get("FIX_1ST_CONVS", False):
+            rules += ["encoder/dense1_0/", "encoder/dense1_1/"]
+        elif dn.get("FIX_1ST_CONV", False):
+            rules += ["encoder/dense1_0/"]
+    return rules
 
 
-def apply_freeze(tx: optax.GradientTransformation, frozen: Sequence[str]) -> optax.GradientTransformation:
-    """Wrap tx so params whose path contains a frozen substring get zero updates."""
+def apply_freeze(tx: optax.GradientTransformation, frozen: Sequence) -> optax.GradientTransformation:
+    """Wrap tx so params whose path matches a frozen rule get zero updates."""
     if not frozen:
         return tx
 
@@ -105,8 +137,8 @@ def apply_freeze(tx: optax.GradientTransformation, frozen: Sequence[str]) -> opt
         flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
         def label(path):
-            path_str = "/".join(str(getattr(k, "key", k)) for k in path)
-            return "frozen" if any(f in path_str for f in frozen) else "train"
+            path_str = "/".join(str(getattr(k, "key", k)) for k in path) + "/"
+            return "frozen" if any(_freeze_rule_matches(path_str, f) for f in frozen) else "train"
 
         labels = [label(p) for p, _ in flat]
         return jax.tree_util.tree_unflatten(jax.tree_util.tree_structure(params), labels)

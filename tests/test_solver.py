@@ -52,24 +52,55 @@ def test_param_groups_depth_pose():
 
 
 def test_freeze_mask():
+    """BtsModel mirrors the reference's unconditional set_misc
+    (BTSNet.py:382-412): stem conv + every encoder BN affine frozen even
+    with both FIX flags off; FIX_1ST_CONV adds the first block; decoder BNs
+    and encoder downsample BNs stay trainable; other depth nets freeze
+    nothing."""
     cfg = get_cfg()
+    cfg.MODEL.DEPTH_NET.NAME = "BtsModel"
+    cfg.MODEL.DEPTH_NET.ENCODER_NAME = "resnet50_bts"
     cfg.MODEL.DEPTH_NET.FIX_1ST_CONV = True
     frozen = freeze_substrings_from_cfg(cfg)
-    assert "encoder/conv1" in frozen
+    assert "encoder/conv1/" in frozen and "encoder/layer1_0/" in frozen
+
+    # non-BTS nets never call set_misc → nothing frozen even with the flag
+    other = get_cfg()
+    other.MODEL.DEPTH_NET.FIX_1ST_CONV = True
+    assert freeze_substrings_from_cfg(other) == []
 
     tx = apply_freeze(optax.sgd(1.0), frozen)
+    leaf = lambda: jnp.ones((2,))
     params = {
         "depth_net": {
-            "encoder": {"conv1": {"kernel": jnp.ones((2,))}, "layer3_0": {"kernel": jnp.ones((2,))}}
+            "encoder": {
+                "conv1": {"kernel": leaf()},
+                "bn1": {"scale": leaf()},
+                "layer1_0": {"conv2": {"kernel": leaf()}},
+                "layer3_0": {
+                    "kernel": leaf(),
+                    "bn2": {"scale": leaf()},
+                    "downsample_bn": {"scale": leaf()},
+                },
+            },
+            "decoder": {"bn2": {"scale": leaf()}},
         }
     }
     state = tx.init(params)
     grads = jax.tree_util.tree_map(jnp.ones_like, params)
     updates, _ = tx.update(grads, state, params)
-    np.testing.assert_allclose(
-        np.asarray(updates["depth_net"]["encoder"]["conv1"]["kernel"]), 0.0
-    )
-    assert float(jnp.abs(updates["depth_net"]["encoder"]["layer3_0"]["kernel"]).sum()) > 0
+    enc = updates["depth_net"]["encoder"]
+
+    def total(x):
+        return float(jnp.abs(x).sum())
+
+    assert total(enc["conv1"]["kernel"]) == 0  # stem conv: frozen
+    assert total(enc["bn1"]["scale"]) == 0  # stem BN: frozen
+    assert total(enc["layer1_0"]["conv2"]["kernel"]) == 0  # FIX_1ST_CONV block
+    assert total(enc["layer3_0"]["bn2"]["scale"]) == 0  # block BN: frozen
+    assert total(enc["layer3_0"]["kernel"]) > 0  # block conv: trains
+    assert total(enc["layer3_0"]["downsample_bn"]["scale"]) > 0  # '.bn' misses torch downsample.1
+    assert total(updates["depth_net"]["decoder"]["bn2"]["scale"]) > 0  # decoder out of scope
 
 
 def test_remat_step_matches_plain(rng):
