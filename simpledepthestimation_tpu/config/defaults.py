@@ -105,10 +105,13 @@ _C.TPU.WARP_IMPL = "auto"
 # output tile is ~window-9 rows; tiles beyond it fall back to the exact
 # gather for that step. Larger = fewer fallbacks, ~linearly costlier matmul.
 _C.TPU.WARP_WINDOW = 64
-# PackNet packed-3D-conv backend: "ndhwc" (literal 1-input-channel 3D conv)
-# or "blocked" (depth band embedded in a dense 2D conv over channel blocks
-# of CONV3D_BLOCK — MXU-sized contractions; see tools/microbench_conv3d.py).
-_C.TPU.CONV3D_IMPL = "ndhwc"
+# PackNet packed-3D-conv backend: "auto" (blocked on TPU, ndhwc elsewhere),
+# "ndhwc" (literal 1-input-channel 3D conv), or "blocked" (depth band
+# embedded in a dense 2D conv over channel blocks of CONV3D_BLOCK —
+# MXU-sized contractions; see tools/microbench_conv3d.py). On TPU the ndhwc
+# form is unusable at reference shape: its [B,C,H,W,d=8] intermediate
+# layout-pads the trailing dim 8→128 (16×, ~15 GB HBM at B=8 192×640).
+_C.TPU.CONV3D_IMPL = "auto"
 _C.TPU.CONV3D_BLOCK = 30
 
 # Strict reference-parity mode: restores reference behaviors behind our

@@ -47,7 +47,7 @@ def build_model(cfg):
     from .packnet import set_conv3d_impl
 
     set_conv3d_impl(
-        str(cfg.TPU.get("CONV3D_IMPL", "ndhwc")),
+        str(cfg.TPU.get("CONV3D_IMPL", "auto")),
         block=int(cfg.TPU.get("CONV3D_BLOCK", 30)),
     )
     meta_arch = cfg.MODEL.META_ARCHITECTURE

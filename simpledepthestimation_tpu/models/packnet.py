@@ -124,22 +124,24 @@ class InvDepth(nn.Module):
 
 # 3D-conv-over-packed-dim backend. The op is a torch ``Conv3d(1, d, 3)``:
 # ONE input channel, d=8 output channels — as a literal NDHWC conv its MXU
-# contraction is 27×1 elements (≈1-2% tile utilization). The "blocked"
-# formulation re-expresses the depth-banded structure as a dense 2D conv
-# over channel blocks of G with a 1-channel halo: contraction 9·(G+2),
-# outputs G·d — real MXU tiles at ~(G+2)/3× redundant FLOPs (the band is
-# embedded in a dense kernel). Routing is measured, not assumed: see
-# tools/microbench_conv3d.py.
-_CONV3D_IMPL = "ndhwc"
+# contraction is 27×1 elements (≈1-2% tile utilization), and on TPU its
+# [B,C,H,W,d=8] intermediate layout-pads the trailing dim 8→128 (16× HBM,
+# OOM at reference shape). The "blocked" formulation re-expresses the
+# depth-banded structure as a dense 2D conv over channel blocks of G with a
+# 1-channel halo: contraction 9·(G+2), outputs G·d — real MXU tiles at
+# ~(G+2)/3× redundant FLOPs (the band is embedded in a dense kernel).
+# "auto" resolves at trace time: blocked on TPU, ndhwc elsewhere. Routing is
+# measured, not assumed: see tools/microbench_conv3d.py.
+_CONV3D_IMPL = "auto"
 _CONV3D_BLOCK = 30
 
 
 def set_conv3d_impl(impl: str, block: Optional[int] = None) -> None:
-    """Select the packed-3D-conv backend ('ndhwc' | 'blocked'), module-level,
-    read at trace time."""
+    """Select the packed-3D-conv backend ('auto' | 'ndhwc' | 'blocked'),
+    module-level, read at trace time."""
     global _CONV3D_IMPL, _CONV3D_BLOCK
-    if impl not in ("ndhwc", "blocked"):
-        raise ValueError(f"conv3d impl {impl!r} not in ('ndhwc', 'blocked')")
+    if impl not in ("auto", "ndhwc", "blocked"):
+        raise ValueError(f"conv3d impl {impl!r} not in ('auto', 'ndhwc', 'blocked')")
     _CONV3D_IMPL = impl
     if block is not None:
         _CONV3D_BLOCK = int(block)
@@ -201,7 +203,10 @@ def _conv3d_over_packed(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) 
     fixed-function PixelShuffle consumer in the unpack layer) line up
     exactly.
     """
-    if _CONV3D_IMPL == "blocked":
+    impl = _CONV3D_IMPL
+    if impl == "auto":
+        impl = "blocked" if jax.default_backend() == "tpu" else "ndhwc"
+    if impl == "blocked":
         return _conv3d_over_packed_blocked(x, kernel, bias, _CONV3D_BLOCK)
     B, H, W, C = x.shape
     vol = x.transpose(0, 3, 1, 2)[..., None]  # [B, D=C, H, W, 1]

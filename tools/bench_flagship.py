@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def run_one(B, window, impl, steps=30):
+def run_one(B, window, impl, steps=30, remat=False):
     import jax
 
     from __graft_entry__ import _tiny_cfg, _train_batch
@@ -38,7 +38,7 @@ def run_one(B, window, impl, steps=30):
     model = build_model(cfg)
     opt, _ = build_optimizer(cfg, steps_per_epoch=100)
     state = create_train_state(model, opt, batch, jax.random.PRNGKey(0))
-    step = make_train_step(model, opt, mesh, donate=True)
+    step = make_train_step(model, opt, mesh, donate=True, remat=remat)
     dsh = data_sharding(mesh)
     dev = {k: jax.device_put(v, dsh) for k, v in batch.items()
            if hasattr(v, "shape")}
@@ -47,16 +47,19 @@ def run_one(B, window, impl, steps=30):
     n = 0
     for i in range(5):
         state, m = step(state, dev, jax.random.fold_in(key, n)); n += 1
-    jax.block_until_ready(m["total_loss"])
+    # device_get, not block_until_ready: the tunneled axon backend can return
+    # from block_until_ready before the step stream drains (same protocol as
+    # bench.py / bench_models.py)
+    float(jax.device_get(m["total_loss"]))
     t0 = time.perf_counter()
     for c in range(steps // 5):
         for i in range(5):
             state, m = step(state, dev, jax.random.fold_in(key, n)); n += 1
-        jax.block_until_ready(m["total_loss"])
+        float(jax.device_get(m["total_loss"]))
     dt = time.perf_counter() - t0
     ips = B * (steps // 5) * 5 / dt
-    print(f"B={B:<3} impl={impl:<10} window={window:<4} {ips:7.1f} img/s/chip",
-          flush=True)
+    print(f"B={B:<3} impl={impl:<10} window={window:<4} remat={int(remat)} "
+          f"{ips:7.1f} img/s/chip", flush=True)
     return ips
 
 
@@ -66,6 +69,9 @@ def main():
     p.add_argument("--window", default="64")
     p.add_argument("--impl", default="auto")
     p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the forward during backprop "
+                   "(TPU.REMAT) — trades FLOPs for HBM to fit larger B")
     args = p.parse_args()
 
     from simpledepthestimation_tpu.engine.defaults import enable_compilation_cache
@@ -74,7 +80,7 @@ def main():
     for B in [int(x) for x in args.batch.split(",")]:
         for w in [int(x) for x in args.window.split(",")]:
             for impl in args.impl.split(","):
-                run_one(B, w, impl, args.steps)
+                run_one(B, w, impl, args.steps, args.remat)
 
 
 if __name__ == "__main__":

@@ -30,14 +30,20 @@ CASES = [
 ]
 
 
-def make_case(meta, dn, pose, B, H, W):
+def make_case(meta, dn, pose, B, H, W, opts=()):
     """(cfg, host batch) for a family at a given shape — shared with
-    tools/trace_step.py so profiles hit the exact benched configuration."""
+    tools/trace_step.py so profiles hit the exact benched configuration.
+
+    ``opts`` is a flat KEY VALUE list merged last (same syntax as the train
+    CLIs), e.g. ``TPU.CONV3D_IMPL blocked`` to sweep kernel backends.
+    """
     import jax
 
     from simpledepthestimation_tpu.config import get_cfg
 
     cfg = get_cfg()
+    if opts:
+        cfg.merge_from_list(list(opts))
     cfg.MODEL.META_ARCHITECTURE = meta
     for k, v in dn.items():
         cfg.MODEL.DEPTH_NET[k] = v
@@ -93,7 +99,7 @@ def make_case(meta, dn, pose, B, H, W):
     return cfg, batch
 
 
-def bench_case(name, meta, dn, pose, B, H, W):
+def bench_case(name, meta, dn, pose, B, H, W, opts=()):
     import jax
 
     from simpledepthestimation_tpu.models import build_model
@@ -102,7 +108,7 @@ def bench_case(name, meta, dn, pose, B, H, W):
     )
     from simpledepthestimation_tpu.solver import build_optimizer
 
-    cfg, batch = make_case(meta, dn, pose, B, H, W)
+    cfg, batch = make_case(meta, dn, pose, B, H, W, opts)
     model = build_model(cfg)
     optimizer, _ = build_optimizer(cfg, steps_per_epoch=100)
     mesh = build_mesh(("data",), (len(jax.devices()),))
@@ -120,14 +126,18 @@ def bench_case(name, meta, dn, pose, B, H, W):
 
     for i in range(5):
         state, m = step(state, dev, jax.random.fold_in(key, i))
-    jax.block_until_ready(m["total_loss"])
+    float(jax.device_get(m["total_loss"]))
     n = 0
     t0 = time.perf_counter()
     for c in range(6):
         for i in range(5):
             state, m = step(state, dev, jax.random.fold_in(key, 100 + n))
             n += 1
-        jax.block_until_ready(m["total_loss"])
+        # device_get, not block_until_ready: on the tunneled axon backend
+        # block_until_ready can return before the step stream drains
+        # (under-reports elapsed time); fetching the scalar is the honest sync
+        # (same protocol as bench.py).
+        float(jax.device_get(m["total_loss"]))
     dt = time.perf_counter() - t0
     print(f"{name:<20} B={B:<3} {H}x{W}:  {B * n / dt:7.1f} img/s/chip")
 
@@ -140,6 +150,12 @@ def main():
     p.add_argument(
         "--sweep", default="", help="comma-separated batch sizes to sweep (per family)"
     )
+    p.add_argument(
+        "opts",
+        nargs="*",
+        default=[],
+        help="trailing KEY VALUE cfg overrides (e.g. TPU.CONV3D_IMPL blocked)",
+    )
     args = p.parse_args()
 
     from simpledepthestimation_tpu.engine.defaults import enable_compilation_cache
@@ -150,7 +166,7 @@ def main():
         if args.family and not name.lower().startswith(args.family.lower()):
             continue
         for b in ([int(x) for x in args.sweep.split(",")] if args.sweep else [B]):
-            bench_case(name, meta, dn, pose, b, H, W)
+            bench_case(name, meta, dn, pose, b, H, W, args.opts)
 
 
 if __name__ == "__main__":
