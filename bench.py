@@ -44,10 +44,9 @@ def main():
     dtype = "bfloat16" if on_tpu else "float32"
     cfg = _tiny_cfg(dtype)
 
-    # Per-chip batch sweet spot with the banded MXU warp kernel: throughput
-    # now scales with B (the round-1 gather cliff at B=32 is gone) —
-    # B=16/24/32/48 → 104.4/116.3/125.3/128.9 img/s (docs/PERF.md,
-    # tools/bench_flagship.py)
+    # Per-chip batch sweet spot with the banded MXU warp kernel at
+    # WARP_WINDOW=128: B=48 → 149.8, B=64 → 144.1 img/s (docs/PERF.md,
+    # tools/bench_flagship.py; window sweep in config/defaults.py)
     B, H, W = (48, 192, 640) if on_tpu else (4, 64, 96)
     batch = _train_batch(B, H, W)
 

@@ -102,9 +102,13 @@ _C.TPU.REMAT = False
 # (exact 3-pass matmuls), or "gather". PARITY.STRICT forces "gather".
 _C.TPU.WARP_IMPL = "auto"
 # Banded-kernel row window (multiple of 8, >= 16): spread budget per 8-row
-# output tile is ~window-9 rows; tiles beyond it fall back to the exact
-# gather for that step. Larger = fewer fallbacks, ~linearly costlier matmul.
-_C.TPU.WARP_WINDOW = 64
+# output tile is ~window-9 rows; steps with tiles beyond it run the
+# whole-plane-window variant (costlier matmul, never wrong). Larger = fewer
+# wide-window steps, ~linearly costlier matmul. 128 measured fastest on v5e
+# at the flagship shape — B=48 192×640 sweep: 64/96/112/128/144/160/192 →
+# 128.6/129.0/129.0/149.3/144.9/141.3/131.8 img/s/chip (the 112→128 jump is
+# violations going to ~zero right at the 128-lane-aligned window).
+_C.TPU.WARP_WINDOW = 128
 # PackNet packed-3D-conv backend: "auto" (blocked on TPU, ndhwc elsewhere),
 # "ndhwc" (literal 1-input-channel 3D conv), or "blocked" (depth band
 # embedded in a dense 2D conv over channel blocks of CONV3D_BLOCK —

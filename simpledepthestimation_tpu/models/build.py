@@ -42,7 +42,7 @@ def build_model(cfg):
     else:
         set_warp_impl(
             str(cfg.TPU.get("WARP_IMPL", "auto")),
-            window=int(cfg.TPU.get("WARP_WINDOW", 64)),
+            window=int(cfg.TPU.get("WARP_WINDOW", 128)),
         )
     from .packnet import set_conv3d_impl
 

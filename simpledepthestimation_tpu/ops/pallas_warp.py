@@ -418,7 +418,7 @@ def _pad_align(image, x, y):
     return image, x, y
 
 
-def warp_banded_raw(image, x, y, window=64, dot_dtype=jnp.float32,
+def warp_banded_raw(image, x, y, window=128, dot_dtype=jnp.float32,
                     interpret=False):
     """Kernel forward without the wide-window escape: returns
     (sampled, viol_any).
@@ -463,7 +463,7 @@ def _warp_banded_prim_bwd(window, dot_dtype, interpret, res, ct_out):
 _warp_banded_prim.defvjp(_warp_banded_prim_fwd, _warp_banded_prim_bwd)
 
 
-def warp_banded(image, x, y, window=64, dot_dtype=jnp.float32,
+def warp_banded(image, x, y, window=128, dot_dtype=jnp.float32,
                 interpret=False):
     """Gather-free banded bilinear warp, always exact.
 

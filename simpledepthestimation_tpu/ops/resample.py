@@ -57,7 +57,7 @@ _BANDED_MIN_W = 256
 # Banded-kernel row window (cfg TPU.WARP_WINDOW): larger windows tolerate
 # more vertical spread per 8-row tile (fewer exact-gather fallback steps in
 # early training) at ~linear extra matmul cost.
-_WARP_WINDOW = 64
+_WARP_WINDOW = 128
 
 
 def set_warp_impl(impl: str, window: int = None) -> None:

@@ -66,7 +66,7 @@ def run_one(B, window, impl, steps=30, remat=False):
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--batch", default="24")
-    p.add_argument("--window", default="64")
+    p.add_argument("--window", default="128")
     p.add_argument("--impl", default="auto")
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--remat", action="store_true",
