@@ -359,14 +359,38 @@ def convert_bts_decoder(sd: Mapping[str, Any]) -> Tuple[Tree, Tree]:
     return params, stats
 
 
-def convert_bts(sd: Mapping[str, Any], num_layers: int = 50) -> Tuple[Tree, Tree]:
-    """Full BtsModel with a resnet encoder (``encoder.base_model.*``)."""
+def convert_bts(sd: Mapping[str, Any], encoder: Any = 50) -> Tuple[Tree, Tree]:
+    """Full BtsModel checkpoint for ANY reference encoder
+    (BTSNet.py:278-333 zoo).
+
+    ``encoder`` is the BTS encoder name ('resnet50_bts', 'resnext101_bts',
+    'densenet161_bts', 'mobilenetv2_bts', …) or, back-compat, a bare resnet
+    layer count. For densenet/mobilenet the reference's ``base_model`` IS
+    torchvision's ``.features``, so the stripped keys get the ``features.``
+    prefix restored before reusing the pretrained-zoo converters; resnext
+    shares the resnet key layout (pretrained.py BTS_CONVERTIBLE)."""
     enc_sd = {
         k: v
         for k, v in _sub(sd, "encoder.base_model.").items()
-        if not k.startswith(("fc.", "avgpool."))
+        if not k.startswith(("fc.", "avgpool.", "classifier."))
     }
-    enc_p, enc_s = convert_torch_resnet(enc_sd, num_layers)
+    name = str(encoder)
+    if "densenet" in name:
+        from .pretrained import convert_torch_densenet
+
+        blocks = (6, 12, 24, 16) if "121" in name else (6, 12, 36, 24)
+        enc_p, enc_s = convert_torch_densenet(
+            {f"features.{k}": v for k, v in enc_sd.items()}, blocks
+        )
+    elif "mobilenet" in name:
+        from .pretrained import convert_torch_mobilenetv2
+
+        enc_p, enc_s = convert_torch_mobilenetv2(
+            {f"features.{k}": v for k, v in enc_sd.items()}
+        )
+    else:
+        num_layers = int(re.search(r"\d+", name).group())
+        enc_p, enc_s = convert_torch_resnet(enc_sd, num_layers)
     dec_p, dec_s = convert_bts_decoder(_sub(sd, "decoder."))
     return (
         {"encoder": enc_p, "decoder": dec_p},
@@ -384,7 +408,7 @@ _DEPTH_NET_CONVERTERS = {
     ),
     "PackNet01": lambda sd, cfg: convert_packnet(sd),
     "BtsModel": lambda sd, cfg: convert_bts(
-        sd, int(re.search(r"\d+", str(cfg.MODEL.DEPTH_NET.ENCODER_NAME)).group())
+        sd, str(cfg.MODEL.DEPTH_NET.ENCODER_NAME)
     ),
     "GoogleResNet": lambda sd, cfg: convert_google_resnet(
         sd,

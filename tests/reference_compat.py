@@ -9,8 +9,8 @@ imported:
 
 - ``fvcore.common.registry.Registry``: the tiny name→class registry surface
   the reference uses (register decorator + get).
-- ``torchvision.models``: the standard torchvision ResNet architecture
-  (BasicBlock / Bottleneck / ResNet with the canonical state_dict naming),
+- ``torchvision.models``: the standard torchvision ResNet / ResNeXt /
+  DenseNet / MobileNetV2 architectures (canonical state_dict naming),
   which reference detectron2/layers/resnet_encoder.py:61-99 and
   BTSNet.py:278-333 construct encoders from. ``pretrained`` flags are
   ignored (no network egress; parity runs from seeded random weights).
@@ -200,6 +200,153 @@ def _build_torchvision_stub():
 
         return make
 
+    # ---- DenseNet (canonical torchvision naming: features.conv0/norm0,
+    # features.denseblock{i}.denselayer{j}.{norm1,conv1,norm2,conv2},
+    # features.transition{i}.{norm,conv}, features.norm5) — reference
+    # BTSNet.py:281-292 constructs densenet121/161 encoders from
+    # ``models.densenetXXX(pretrained=True).features`` -------------------
+    from collections import OrderedDict
+
+    class _DenseLayer(nn.Module):
+        def __init__(self, num_input_features, growth_rate, bn_size):
+            super().__init__()
+            self.norm1 = nn.BatchNorm2d(num_input_features)
+            self.relu1 = nn.ReLU(inplace=True)
+            self.conv1 = nn.Conv2d(
+                num_input_features, bn_size * growth_rate, 1, stride=1, bias=False
+            )
+            self.norm2 = nn.BatchNorm2d(bn_size * growth_rate)
+            self.relu2 = nn.ReLU(inplace=True)
+            self.conv2 = nn.Conv2d(
+                bn_size * growth_rate, growth_rate, 3, stride=1, padding=1, bias=False
+            )
+
+        def forward(self, x):
+            out = self.conv1(self.relu1(self.norm1(x)))
+            out = self.conv2(self.relu2(self.norm2(out)))
+            return torch.cat([x, out], 1)
+
+    class _DenseBlock(nn.Sequential):
+        def __init__(self, num_layers, num_input_features, bn_size, growth_rate):
+            super().__init__()
+            for i in range(num_layers):
+                self.add_module(
+                    f"denselayer{i + 1}",
+                    _DenseLayer(
+                        num_input_features + i * growth_rate, growth_rate, bn_size
+                    ),
+                )
+
+    class _Transition(nn.Sequential):
+        def __init__(self, num_input_features, num_output_features):
+            super().__init__()
+            self.add_module("norm", nn.BatchNorm2d(num_input_features))
+            self.add_module("relu", nn.ReLU(inplace=True))
+            self.add_module(
+                "conv",
+                nn.Conv2d(num_input_features, num_output_features, 1, bias=False),
+            )
+            self.add_module("pool", nn.AvgPool2d(2, stride=2))
+
+    class DenseNet(nn.Module):
+        def __init__(self, growth_rate=32, block_config=(6, 12, 24, 16),
+                     num_init_features=64, bn_size=4, num_classes=1000):
+            super().__init__()
+            self.features = nn.Sequential(OrderedDict([
+                ("conv0", nn.Conv2d(3, num_init_features, 7, stride=2, padding=3,
+                                    bias=False)),
+                ("norm0", nn.BatchNorm2d(num_init_features)),
+                ("relu0", nn.ReLU(inplace=True)),
+                ("pool0", nn.MaxPool2d(3, stride=2, padding=1)),
+            ]))
+            num_features = num_init_features
+            for i, num_layers in enumerate(block_config):
+                self.features.add_module(
+                    f"denseblock{i + 1}",
+                    _DenseBlock(num_layers, num_features, bn_size, growth_rate),
+                )
+                num_features += num_layers * growth_rate
+                if i != len(block_config) - 1:
+                    self.features.add_module(
+                        f"transition{i + 1}",
+                        _Transition(num_features, num_features // 2),
+                    )
+                    num_features //= 2
+            self.features.add_module("norm5", nn.BatchNorm2d(num_features))
+            self.classifier = nn.Linear(num_features, num_classes)
+
+        def forward(self, x):
+            out = torch.relu(self.features(x))
+            out = torch.flatten(nn.functional.adaptive_avg_pool2d(out, (1, 1)), 1)
+            return self.classifier(out)
+
+    def _densenet_factory(growth_rate, block_config, num_init_features):
+        def make(pretrained=False, progress=True, **kwargs):
+            return DenseNet(growth_rate, block_config, num_init_features, **kwargs)
+
+        return make
+
+    # ---- MobileNetV2 (canonical torchvision naming: features.0 ConvBNReLU
+    # stem; features.1..17 InvertedResidual ``conv`` Sequential; features.18
+    # ConvBNReLU head) — reference BTSNet.py:307-311 taps
+    # ``models.mobilenet_v2(pretrained=True).features`` -------------------
+    class ConvBNReLU(nn.Sequential):
+        def __init__(self, in_planes, out_planes, kernel_size=3, stride=1, groups=1):
+            padding = (kernel_size - 1) // 2
+            super().__init__(
+                nn.Conv2d(in_planes, out_planes, kernel_size, stride, padding,
+                          groups=groups, bias=False),
+                nn.BatchNorm2d(out_planes),
+                nn.ReLU6(inplace=True),
+            )
+
+    class InvertedResidual(nn.Module):
+        def __init__(self, inp, oup, stride, expand_ratio):
+            super().__init__()
+            self.stride = stride
+            hidden_dim = int(round(inp * expand_ratio))
+            self.use_res_connect = stride == 1 and inp == oup
+            layers = []
+            if expand_ratio != 1:
+                layers.append(ConvBNReLU(inp, hidden_dim, kernel_size=1))
+            layers.extend([
+                ConvBNReLU(hidden_dim, hidden_dim, stride=stride, groups=hidden_dim),
+                nn.Conv2d(hidden_dim, oup, 1, 1, 0, bias=False),
+                nn.BatchNorm2d(oup),
+            ])
+            self.conv = nn.Sequential(*layers)
+
+        def forward(self, x):
+            return x + self.conv(x) if self.use_res_connect else self.conv(x)
+
+    class MobileNetV2(nn.Module):
+        def __init__(self, num_classes=1000):
+            super().__init__()
+            input_channel, last_channel = 32, 1280
+            setting = [
+                # t, c, n, s
+                (1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+                (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1),
+            ]
+            features = [ConvBNReLU(3, input_channel, stride=2)]
+            for t, c, n, s in setting:
+                for i in range(n):
+                    features.append(
+                        InvertedResidual(input_channel, c, s if i == 0 else 1,
+                                         expand_ratio=t)
+                    )
+                    input_channel = c
+            features.append(ConvBNReLU(input_channel, last_channel, kernel_size=1))
+            self.features = nn.Sequential(*features)
+            self.classifier = nn.Sequential(
+                nn.Dropout(0.2), nn.Linear(last_channel, num_classes)
+            )
+
+        def forward(self, x):
+            x = self.features(x)
+            x = torch.flatten(nn.functional.adaptive_avg_pool2d(x, (1, 1)), 1)
+            return self.classifier(x)
+
     model_urls = {
         f"resnet{n}": f"stub://resnet{n}" for n in (18, 34, 50, 101, 152)
     }
@@ -238,6 +385,15 @@ def _build_torchvision_stub():
     models.resnext101_32x8d = _factory(
         Bottleneck, [3, 4, 23, 3], groups=32, width_per_group=8
     )
+    models.DenseNet = DenseNet
+    models.densenet121 = _densenet_factory(32, (6, 12, 24, 16), 64)
+    models.densenet161 = _densenet_factory(48, (6, 12, 36, 24), 96)
+    models.MobileNetV2 = MobileNetV2
+
+    def mobilenet_v2(pretrained=False, progress=True, **kwargs):
+        return MobileNetV2(**kwargs)
+
+    models.mobilenet_v2 = mobilenet_v2
     tv.models = models
     return {
         "torchvision": tv,

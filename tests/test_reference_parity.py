@@ -8,8 +8,9 @@ convert those exact weights into our Flax trees with
 losses match numerically.
 
 Covers every model family: DepthResNet-18/50 (reference
-detectron2/modeling/depth_net/DepthResNet.py:45-70), BtsModel-R50
-(BTSNet.py:336-370), PackNet01-1A (PackNet01.py:120-209), GoogleResNet
+detectron2/modeling/depth_net/DepthResNet.py:45-70), BtsModel across the
+encoder zoo — resnet50/resnext50/densenet161/mobilenetv2
+(BTSNet.py:278-370), PackNet01-1A (PackNet01.py:120-209), GoogleResNet
 BN+randLN (GoogleResNet.py:157-174), PoseNet (PoseNet.py:50-65),
 GooglePoseNet / GoogleMotionNet (GooglePoseNet.py:64-208), and the
 MonoDepth2Model (MonoDepth2.py:55-125) total training loss.
@@ -164,10 +165,23 @@ def test_depth_resnet_forward_parity(rng_image, layers):
 # ---------------------------------------------------------------------------
 
 
-def test_bts_r50_forward_parity(rng_image):
+@pytest.mark.parametrize(
+    "encoder_name",
+    [
+        "resnet50_bts",
+        "resnext50_bts",
+        "densenet161_bts",
+        "mobilenetv2_bts",
+    ],
+)
+def test_bts_forward_parity(rng_image, encoder_name):
+    """Full BtsModel forward vs the reference across its encoder zoo
+    (BTSNet.py:278-333): resnet, resnext (grouped bottlenecks), densenet
+    (dense blocks + transitions), mobilenetv2 (inverted residuals) — all
+    from seeded torch weights through ``TI.convert_bts``."""
     from detectron2.modeling.depth_net.BTSNet import BtsModel as RefBtsModel
 
-    rcfg = ref_depth_cfg("BtsModel", "resnet50_bts")
+    rcfg = ref_depth_cfg("BtsModel", encoder_name)
     torch.manual_seed(5)
     ref = RefBtsModel(rcfg).eval()
     intrinsics = np.tile(
@@ -181,13 +195,13 @@ def test_bts_r50_forward_parity(rng_image):
             }
         )["depth_pred"][0]
 
-    cfg = my_depth_cfg("BtsModel", "resnet50_bts")
+    cfg = my_depth_cfg("BtsModel", encoder_name)
     model = build_depth_net(cfg)
     x = jnp.asarray(rng_image)
     variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
     params, stats = TI.convert_bts(
         {k: v for k, v in sd_np(ref).items() if not k.endswith("num_batches_tracked")},
-        50,
+        encoder_name,
     )
     from flax.core import unfreeze
 
