@@ -152,6 +152,19 @@ def load_weights(path: str, state: TrainState) -> TrainState:
     or a saved-state directory. Non-strict: falls back to an intersection
     merge when the trees differ."""
     path = os.path.abspath(path)
+    # A Checkpointer/CheckpointManager directory (numeric step subdirs) —
+    # the same path type restore_inference_state/demo/export accept for
+    # MODEL.WEIGHTS: restore the latest step, weights-only.
+    if os.path.isdir(path) and any(
+        d.isdigit() and os.path.isdir(os.path.join(path, d)) for d in os.listdir(path)
+    ):
+        ck = Checkpointer(path)
+        if ck.has_checkpoint():
+            restored, _ = ck.resume_or_load("", state, resume=True)
+            logger.info(f"Loaded weights (latest step) from manager dir {path}")
+            return state.replace(
+                params=restored.params, batch_stats=restored.batch_stats
+            )
     ckptr = ocp.StandardCheckpointer()
     template = {"state": state, "meta": {"epoch": 0}}
     # weights-only load: the partial/intersection path is acceptable here

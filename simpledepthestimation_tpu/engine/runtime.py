@@ -80,20 +80,31 @@ def device_prefetch(iterator, mesh, extra_batch_fn=None, start_step: int = 0, de
     9× throughput (6.7 → 62.9 img/s/chip with on-device batches); this is the
     same fix for the real loop. ``extra_batch_fn`` injects per-step schedule
     scalars before placement.
+
+    Multi-host: each process's loader yields its per-host shard of the global
+    batch; the global array is formed from the process-local rows
+    (``shard_batch``'s multi-process path) instead of ``device_put``.
     """
-    from ..parallel.mesh import data_sharding, replicated
+    from ..parallel.mesh import (
+        data_sharding,
+        is_multiprocess_mesh,
+        replicated,
+        shard_batch,
+    )
 
     dsh = data_sharding(mesh)
     rep = replicated(mesh)
     n = mesh.shape.get("data", 1)
+    multiproc = is_multiprocess_mesh(mesh)
 
     def place(step, batch):
         if extra_batch_fn is not None:
             batch = {**batch, **extra_batch_fn(step)}
+        batch = {k: v for k, v in batch.items() if hasattr(v, "shape")}
+        if multiproc:
+            return shard_batch(mesh, batch)
         out = {}
         for k, v in batch.items():
-            if not hasattr(v, "shape"):
-                continue
             sh = dsh if (v.ndim >= 1 and v.shape[0] % n == 0 and v.ndim > 0) else rep
             out[k] = jax.device_put(v, sh)
         return out
@@ -124,6 +135,25 @@ def do_test(cfg: CfgNode, state=None, mesh=None, model=None, eval_step=None) -> 
     if loader is None:
         logger.info("No test dataset configured; skipping eval")
         return {}
+
+    from ..parallel import host_local_tree, is_multiprocess_mesh
+
+    if is_multiprocess_mesh(mesh):
+        # Per-rank independent inference on the local devices (the
+        # reference's per-GPU eval loop, reference evaluation/evaluator.py:
+        # each process runs its InferenceSampler shard, the evaluator gather
+        # merges rows). Shards are UNEQUAL across ranks, so a global SPMD
+        # eval step would deadlock the ranks with fewer batches — drop to a
+        # local mesh; a caller-passed eval_step (compiled on the global mesh)
+        # cannot be reused.
+        local = jax.local_devices()
+        mesh = build_mesh(("data",), (len(local),), devices=local)
+        eval_step = None
+        if state is not None:
+            state = state.replace(
+                params=host_local_tree(state.params),
+                batch_stats=host_local_tree(state.batch_stats),
+            )
 
     if state is None:
         # eval-only entry: init then load MODEL.WEIGHTS
@@ -202,7 +232,14 @@ def do_train(
     resume: bool = False,
     extra_batch_fn: Optional[Callable[[int], Dict[str, np.ndarray]]] = None,
     model=None,
+    batch_tap: Optional[Callable[[Dict[str, np.ndarray]], None]] = None,
+    metrics_tap: Optional[Callable[[int, Dict[str, float]], None]] = None,
 ) -> None:
+    """Run the full training loop. ``batch_tap`` (tests) observes every host
+    batch in consumption order before device placement, and ``metrics_tap``
+    the unsmoothed per-step metric floats — the trajectory parity harness
+    replays the identical stream through the reference's torch loop and
+    compares the loss sequences (tests/test_trajectory_parity.py)."""
     mesh = build_mesh_from_cfg(cfg)
     model = model or build_model(cfg)
 
@@ -245,9 +282,20 @@ def do_train(
     log_period = int(cfg.LOG_PERIOD)
     eval_period = int(cfg.TEST.EVAL_PERIOD)
 
+    from ..parallel import is_multiprocess_mesh
+
+    multiproc = is_multiprocess_mesh(mesh)
+    if multiproc:
+        # fresh init yields process-local arrays; the SPMD step needs the
+        # global replicated state (init is seed-deterministic, so every
+        # process holds identical values)
+        state = place_replicated(state, mesh)
+
     # VIS_PERIOD: colormapped depth panels to tensorboard (the reference's
-    # per-199-step disparity/motion logging, projects/MotionLearning/train.py:133-153)
-    vis_period = int(cfg.get("VIS_PERIOD", 0))
+    # per-199-step disparity/motion logging, projects/MotionLearning/train.py:133-153).
+    # Multi-host: disabled — the panel render is a rank-0-only computation on
+    # the global batch, which would desync the SPMD program across processes.
+    vis_period = int(cfg.get("VIS_PERIOD", 0)) if not multiproc else 0
     vis_step = make_eval_step(model, mesh) if vis_period > 0 else None
 
     # one compiled eval executable shared across every periodic eval
@@ -340,13 +388,24 @@ def do_train(
                 for k, v in m.items():
                     storage.put_scalar(k, float(v))
                 storage.put_scalar("lr", float(lr_schedule(it)), smoothing_hint=False)
+                if metrics_tap is not None:
+                    metrics_tap(it, {k: float(v) for k, v in m.items()})
 
         for epoch in range(start_epoch, max_epochs):
             storage.epoch = epoch
             loader.set_epoch(epoch)
             t_data = time.perf_counter()
+            epoch_iter = iter(loader)
+            if batch_tap is not None:
+                def _tapped(src):
+                    for b in src:
+                        batch_tap({k: np.copy(v) if hasattr(v, "shape") else v
+                                   for k, v in b.items()})
+                        yield b
+
+                epoch_iter = _tapped(epoch_iter)
             for batch in device_prefetch(
-                iter(loader), mesh, extra_batch_fn, start_step=step
+                epoch_iter, mesh, extra_batch_fn, start_step=step
             ):
                 data_time = time.perf_counter() - t_data
                 step_key = jax.random.fold_in(base_key, step)

@@ -282,9 +282,37 @@ def compute_precise_bn_stats(model, state: TrainState, batches, rng=None, stats_
 
 def place_replicated(tree, mesh):
     """Place every leaf of a pytree replicated on the mesh (used after a
-    checkpoint restore, which yields host/single-device arrays)."""
+    checkpoint restore, which yields host/single-device arrays, and to
+    globalize the freshly-initialized state at world > 1 — init is
+    seed-deterministic, so every process holds the same host-local value)."""
+    from .mesh import is_multiprocess_mesh
+
     rep = replicated(mesh)
+    if is_multiprocess_mesh(mesh):
+        from jax.experimental import multihost_utils
+        from jax.sharding import PartitionSpec as P
+
+        return jax.tree_util.tree_map(
+            lambda x: multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh, P()
+            ),
+            tree,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(np.asarray(x) if not hasattr(x, "devices") else x, rep),
         tree,
     )
+
+
+def host_local_tree(tree):
+    """Fetch every leaf to host memory. Replicated global (multi-process)
+    arrays resolve to their local replica — the inverse of
+    :func:`place_replicated`, used to hand a global train state to per-rank
+    local computations (multi-host eval, checkpoint templates)."""
+
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(x.addressable_data(0))
+        return np.asarray(x) if hasattr(x, "shape") else x
+
+    return jax.tree_util.tree_map(fetch, tree)

@@ -403,6 +403,167 @@ def _build_torchvision_stub():
     }
 
 
+def _build_misc_stubs():
+    """Import-satisfying stand-ins for the reference's small utility deps
+    (none installed here): easydict (preprocess build), tabulate/termcolor
+    (logger/evaluator formatting), iopath (PathManager).  Only the surface
+    the reference's *eval chain* actually touches is implemented — the eval
+    parity harness (tests/test_eval_parity.py) imports
+    detectron2.evaluation.depth_evaluation, which pulls these in."""
+
+    class EasyDict(dict):
+        def __init__(self, d=None, **kwargs):
+            super().__init__()
+            d = dict(d or {}, **kwargs)
+            for k, v in d.items():
+                self[k] = v
+
+        def __setitem__(self, k, v):
+            if isinstance(v, dict) and not isinstance(v, EasyDict):
+                v = EasyDict(v)
+            elif isinstance(v, (list, tuple)):
+                v = type(v)(EasyDict(x) if isinstance(x, dict) else x for x in v)
+            super().__setitem__(k, v)
+            super().__setattr__(k, v)
+
+        __setattr__ = __setitem__
+
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+    easydict = types.ModuleType("easydict")
+    easydict.EasyDict = EasyDict
+
+    tabulate_mod = types.ModuleType("tabulate")
+
+    def tabulate(rows, headers=(), **kw):
+        lines = ["\t".join(str(h) for h in headers)] if headers else []
+        lines += ["\t".join(str(c) for c in row) for row in rows]
+        return "\n".join(lines)
+
+    tabulate_mod.tabulate = tabulate
+
+    termcolor = types.ModuleType("termcolor")
+    termcolor.colored = lambda text, *a, **k: text
+
+    iopath = types.ModuleType("iopath")
+    iopath_common = types.ModuleType("iopath.common")
+    iopath_file_io = types.ModuleType("iopath.common.file_io")
+
+    class PathHandler:
+        pass
+
+    class HTTPURLHandler(PathHandler):
+        pass
+
+    class OneDrivePathHandler(PathHandler):
+        pass
+
+    class PathManagerBase:
+        def register_handler(self, *a, **k):
+            pass
+
+        def set_strict_kwargs_checking(self, *a, **k):
+            pass
+
+        def get_local_path(self, path, **k):
+            return path
+
+        def open(self, path, mode="r", **k):
+            return open(path, mode)
+
+        def exists(self, path, **k):
+            import os
+
+            return os.path.exists(path)
+
+        def mkdirs(self, path, **k):
+            import os
+
+            os.makedirs(path, exist_ok=True)
+
+    iopath_file_io.PathHandler = PathHandler
+    iopath_file_io.HTTPURLHandler = HTTPURLHandler
+    iopath_file_io.OneDrivePathHandler = OneDrivePathHandler
+    iopath_file_io.PathManager = PathManagerBase
+    iopath.common = iopath_common
+    iopath_common.file_io = iopath_file_io
+
+    return {
+        "easydict": easydict,
+        "tabulate": tabulate_mod,
+        "termcolor": termcolor,
+        "iopath": iopath,
+        "iopath.common": iopath_common,
+        "iopath.common.file_io": iopath_file_io,
+    }
+
+
+def _build_torchvision_transforms_stub(tv_modules):
+    """torchvision.transforms surface used by the reference preprocess ops
+    (formating.py ToTensor; augmentation.py RandomImageAug's ColorJitter +
+    functional adjust_*).  ToTensor is implemented faithfully (HWC uint8 →
+    CHW float/255); the jitter entry points raise if called — parity tests
+    replay *captured* jittered batches, never the reference's jitter RNG."""
+    import numpy as np
+    import torch
+
+    transforms = types.ModuleType("torchvision.transforms")
+    functional = types.ModuleType("torchvision.transforms.functional")
+
+    class ToTensor:
+        def __call__(self, pic):
+            arr = np.asarray(pic)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            t = torch.from_numpy(np.ascontiguousarray(arr.transpose(2, 0, 1)))
+            if t.dtype == torch.uint8:
+                t = t.float().div(255.0)
+            return t
+
+    class ColorJitter:
+        def __init__(self, *a, **k):
+            pass
+
+        @staticmethod
+        def get_params(*a, **k):
+            raise NotImplementedError(
+                "reference jitter RNG is not replicated; replay captured batches"
+            )
+
+        def __call__(self, img):
+            raise NotImplementedError
+
+    def _nope(*a, **k):
+        raise NotImplementedError(
+            "torchvision.transforms.functional stub: jitter is replayed from "
+            "captured batches, not recomputed"
+        )
+
+    for name in (
+        "adjust_brightness",
+        "adjust_contrast",
+        "adjust_saturation",
+        "adjust_hue",
+        "to_tensor",
+        "resize",
+        "hflip",
+    ):
+        setattr(functional, name, _nope)
+
+    transforms.ToTensor = ToTensor
+    transforms.ColorJitter = ColorJitter
+    transforms.functional = functional
+    tv_modules["torchvision"].transforms = transforms
+    return {
+        "torchvision.transforms": transforms,
+        "torchvision.transforms.functional": functional,
+    }
+
+
 _INSTALLED = False
 
 
@@ -413,7 +574,20 @@ def install_reference_environment(reference_root="/root/reference"):
         return
     import torch
 
-    for name, mod in {**_build_fvcore_stub(), **_build_torchvision_stub()}.items():
+    tv_modules = _build_torchvision_stub()
+    modules = {
+        **_build_fvcore_stub(),
+        **tv_modules,
+        **_build_torchvision_transforms_stub(tv_modules),
+        **_build_misc_stubs(),
+    }
+    import importlib.machinery
+
+    for name, mod in modules.items():
+        if getattr(mod, "__spec__", None) is None:
+            # importlib.util.find_spec raises on in-sys.modules modules with
+            # __spec__ None (pandas probes optional deps like tabulate)
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
         sys.modules.setdefault(name, mod)
 
     # the reference hard-codes .cuda() in a few forward paths
