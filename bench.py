@@ -44,9 +44,9 @@ def main():
     dtype = "bfloat16" if on_tpu else "float32"
     cfg = _tiny_cfg(dtype)
 
-    # Per-chip batch sweet spot with the banded MXU warp kernel at
-    # WARP_WINDOW=128: B=48 → 149.8, B=64 → 144.1 img/s (docs/PERF.md,
-    # tools/bench_flagship.py; window sweep in config/defaults.py)
+    # Per-chip batch sweet spot with the tiled MXU warp kernel: B=48
+    # (round-2 sweep: B=48 > B=64 144.1; re-validated round 3 — see
+    # docs/PERF.md, incl. the ±5% tunnel run-to-run variance note)
     B, H, W = (48, 192, 640) if on_tpu else (4, 64, 96)
     batch = _train_batch(B, H, W)
 

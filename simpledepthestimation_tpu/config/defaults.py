@@ -109,6 +109,16 @@ _C.TPU.WARP_IMPL = "auto"
 # 128.6/129.0/129.0/149.3/144.9/141.3/131.8 img/s/chip (the 112→128 jump is
 # violations going to ~zero right at the 128-lane-aligned window).
 _C.TPU.WARP_WINDOW = 128
+# v2 column-tiled banded kernel windows (round 3): per-8×128-tile x window
+# (multiple of 256: two 128-aligned halves) and y window (multiple of 16).
+# Starts are 128-aligned, so each half must span the tile's own 128-col
+# block plus alignment waste: xw2=256 (XWIN 512) guarantees contiguous
+# x-span coverage up to ~385 cols; 256 violates on ANY tile whose
+# displacement straddles 0. Tiles beyond either spread budget fall back to
+# the v1 row-banded kernel (WARP_WINDOW), then its whole-plane variant.
+# 0 disables v2.
+_C.TPU.WARP_XWIN = 512
+_C.TPU.WARP_YWIN = 96
 # PackNet packed-3D-conv backend: "auto" (blocked on TPU, ndhwc elsewhere),
 # "ndhwc" (literal 1-input-channel 3D conv), or "blocked" (depth band
 # embedded in a dense 2D conv over channel blocks of CONV3D_BLOCK —

@@ -43,6 +43,8 @@ def build_model(cfg):
         set_warp_impl(
             str(cfg.TPU.get("WARP_IMPL", "auto")),
             window=int(cfg.TPU.get("WARP_WINDOW", 128)),
+            xwin=int(cfg.TPU.get("WARP_XWIN", 512)),
+            ywin=int(cfg.TPU.get("WARP_YWIN", 96)),
         )
     from .packnet import set_conv3d_impl
 

@@ -25,17 +25,34 @@ kernel removes the gather entirely:
 
 Out-of-image corners either land in the zero-pad rows or match no iota
 position, reproducing ``padding_mode='zeros'`` exactly with no clamping.
-A tile whose in-image sample rows fit neither half-window cannot be
-computed (three or more distant clusters / very wide mid spread).  The
-cheap jnp-side predicate :func:`_window_violation` detects this BEFORE any
-sampling work, and ``warp_banded``'s ``lax.cond`` then runs the same
-kernel with a whole-plane window pair (never violable, ~Hpad/window times
-the matmul cost) — each step runs exactly ONE kernel, and the gather path
-survives only for ``TPU.WARP_IMPL: gather`` / PARITY.STRICT.  (Two earlier
-designs lost most of the win here: a static band keyed on absolute
-displacement fired at random init, and an in-kernel violation flag made
-violating steps pay kernel + gather fallback; both found via xprof
-hlo_stats — tools/trace_step.py.)
+
+**Round 3 — the production path is the TILE-GRANULAR COLUMN-TILED kernel**
+(``_tiled_fwd_kernel``/``_tiled_bwd_kernel``, W ≥ V2_MIN_W): xprof showed
+the v1 kernel MXU-FLOP-bound with the x-interp matmul running over the
+FULL row ([C·window, W] @ [W, W] per output row) — yet x-displacement is
+just as coherent as y.  v2 bands BOTH dims: grid (B, H/8, W/128), two
+128-aligned x half-windows (``xwin``) and two 8-aligned y half-windows
+(``ywin``) per tile, and ALL 8 rows of a tile in ONE dot
+``[C·ywin, xwin] @ [xwin, 8·128]``.  Tiles whose corner spread exceeds the
+windows are flagged by the jnp-side per-tile predicate
+(:func:`_tile_violations_v2`) and take an in-kernel ``pl.when`` branch
+with a whole-plane window pair instead (never violable) — the fallback is
+PER TILE, not per call: at random init the depth net outputs ~0.2 m,
+displacements reach ~170 px, and the round-2 whole-call predicate sent
+EVERY bench step to the wide kernel (found via xprof: the round-2 'fast
+window' sweep had been measuring the wide branch all along).  Measured at
+[96,192,640] on v5e (real in-step coords): fwd+grad 166 ms (v1 wide) →
+107 ms (tiled, ywin 96 / xwin 512).  The v1 row-banded kernel remains the
+route for planes narrower than V2_MIN_W (its whole-row matmul beats v2's
+512-wide windows there) and for ablation via ``TPU.WARP_XWIN: 0``; the
+gather path survives only for ``TPU.WARP_IMPL: gather`` / PARITY.STRICT.
+(History of designs that lost, all found via xprof hlo_stats /
+tools/trace_step.py: a static band keyed on absolute displacement fired at
+random init; an in-kernel violation flag made violating steps pay kernel +
+fallback; a separate patch-kernel pass spent ~30 ms/step streaming coords
+through a mostly-skipped second grid; an xwin of 256 flagged every tile
+whose displacement straddles 0 — two 128-wide halves at 128-aligned starts
+cannot cover a 128-col tile plus bidirectional spread.)
 
 Forward and the coordinate backward (the production gradient — the warped
 operand is usually the constant context frame) are Pallas kernels; the
@@ -57,6 +74,11 @@ import jax
 import jax.numpy as jnp
 
 TILE_H = 8
+TILE_W = 128  # v2 output-column tile (one lane group)
+# Below this image width the v2 column windows can't undercut the v1
+# whole-row matmul (xwin 512 vs W plus per-tile overhead): measured at the
+# flagship's 320-wide scale-1 plane, v1-wide 21 ms vs v2 30 ms per step.
+V2_MIN_W = 512
 PAD_TOP = 8  # zero rows above the image so y0 = -1 lands on a zero row
 
 
@@ -153,6 +175,82 @@ def never_violating_window(H: int) -> int:
     return -(-Hpad // 16) * 16
 
 
+def _col_half_starts(xmin, xmax, W, xw2):
+    """128-aligned starts of the two x half-windows (v2 column tiling):
+    window1 anchored at the tile's min sample column, window2 the lowest
+    aligned start whose window still contains the max sample column.  The
+    ceil form matters here (unlike :func:`_half_starts`'s floor form):
+    lane starts are 128-aligned while xw2 is itself only ~1-2 lane groups,
+    so a floor-anchored window2 could exclude xmax entirely."""
+    topx = (W - xw2) // TILE_W
+    i1 = jnp.clip(xmin // TILE_W, 0, topx)
+    i2 = jnp.clip((xmax + 1 - xw2 + TILE_W - 1) // TILE_W, 0, topx)
+    return i1, i2
+
+
+def _tile_violations_v2(x, y, H, W, Hpad, ywin, xwin):
+    """jnp-side PER-TILE flags for the column-tiled kernel: tile (b, th, tw)
+    is flagged when some corner with BOTH coordinates in-image has its row
+    outside both y half-windows or its column outside both x half-windows.
+    Returns [B, H/8, W/128] bool.
+
+    Formula-identical to the v2 kernels' window placement
+    (:func:`_half_starts` / :func:`_col_half_starts`).  Flagged tiles are
+    recomputed by the whole-plane patch kernel and merged per tile — the
+    fallback is tile-granular, so one wild tile no longer sends the whole
+    call to the wide kernel (the round-2 design's cliff: at random init the
+    depth net outputs ~0.2 m, displacements reach ~170 px, and EVERY step
+    of the flagship bench ran the wide kernel)."""
+    B, Hy, Wx = x.shape
+    wy2, xw2 = ywin // 2, xwin // 2
+    nh, nw = Hy // TILE_H, Wx // TILE_W
+    x0 = jnp.floor(x).reshape(B, nh, TILE_H, nw, TILE_W)
+    y0 = jnp.floor(y).reshape(B, nh, TILE_H, nw, TILE_W)
+
+    ymin = jnp.min(jnp.clip(y0, 0.0, float(H - 1)), axis=(2, 4)).astype(jnp.int32)
+    ymax = jnp.max(jnp.clip(y0 + 1.0, 0.0, float(H - 1)), axis=(2, 4)).astype(jnp.int32)
+    i1y, i2y = _half_starts(ymin, ymax, Hpad, wy2)
+    s1y = (8 * i1y)[:, :, None, :, None]
+    s2y = (8 * i2y)[:, :, None, :, None]
+
+    xmin = jnp.min(jnp.clip(x0, 0.0, float(W - 1)), axis=(2, 4)).astype(jnp.int32)
+    xmax = jnp.max(jnp.clip(x0 + 1.0, 0.0, float(W - 1)), axis=(2, 4)).astype(jnp.int32)
+    i1x, i2x = _col_half_starts(xmin, xmax, W, xw2)
+    s1x = (TILE_W * i1x)[:, :, None, :, None]
+    s2x = (TILE_W * i2x)[:, :, None, :, None]
+
+    def y_unmapped(cy):
+        p = cy.astype(jnp.int32) + PAD_TOP
+        return ~(((p >= s1y) & (p < s1y + wy2)) | ((p >= s2y) & (p < s2y + wy2)))
+
+    def x_unmapped(cx):
+        c = cx.astype(jnp.int32)
+        return ~(((c >= s1x) & (c < s1x + xw2)) | ((c >= s2x) & (c < s2x + xw2)))
+
+    bad_y = [((cy >= 0) & (cy <= H - 1), y_unmapped(cy)) for cy in (y0, y0 + 1.0)]
+    viol = jnp.zeros((B, nh, TILE_H, nw, TILE_W), bool)
+    for cx in (x0, x0 + 1.0):
+        in_x = (cx >= 0) & (cx <= W - 1)
+        ux = x_unmapped(cx)
+        for in_y, uy in bad_y:
+            viol |= in_x & in_y & (ux | uy)
+    return jnp.any(viol, axis=(2, 4))
+
+
+def _window_violation_v2(x, y, H, W, Hpad, ywin, xwin):
+    """Whole-call reduction of :func:`_tile_violations_v2` (tests)."""
+    return jnp.any(_tile_violations_v2(x, y, H, W, Hpad, ywin, xwin))
+
+
+def _patch_windows(Hpad, W):
+    """Static whole-plane window pair per dim for the patch kernel: two y
+    halves covering all Hpad rows, two x halves covering all W columns —
+    never violable, any corner maps."""
+    wy2 = _ceil_to(-(-Hpad // 2), 8)
+    xw2 = _ceil_to(-(-W // 2), TILE_W)
+    return wy2, xw2
+
+
 def _row_terms(xr, yr, s1, s2, w, f32=jnp.float32):
     """Shared fwd/bwd per-row index math: weights, anchors, band rows."""
     x0f = jnp.floor(xr)
@@ -240,10 +338,21 @@ def _bwd_kernel(
 ):
     """Coordinate cotangents for one 8-row tile.
 
-    dx[j] = sum_c ct[c,j] * ((v01-v00)(1-wy) + (v11-v10)wy)
-          = sum_w dX[w,j] * (1[w==x0+1] - 1[w==x0]),  dX = band^T @ dG
-    dy[j] = sum_{c,r} ct[c,j] * G[c,r,j] * (1[r==t1] - 1[r==t0])
-    with dG[(c,r),j] = Y[r,j] * ct[c,j].
+    With out[c,j] = Σ_r Σ_w band[c·r,w] · X[w,j] · Y[r,j] and the a.e.
+    derivatives ∂X/∂x = Xd[w,j] = 1[w==x0+1] − 1[w==x0],
+    ∂Y/∂y = Yd[r,j] = 1[r==t1] − 1[r==t0]:
+
+        dx[j] = Σ_c ct[c,j] · Σ_r Y[r,j]  · (band @ Xd)[c·r, j]
+        dy[j] = Σ_c ct[c,j] · Σ_r Yd[r,j] · (band @ X )[c·r, j]
+
+    Both matmuls share the stationary band LHS, so they run as ONE MXU dot
+    ``band @ [X | Xd]`` ([C·window, 2W]); the rest is narrow [C, window, W]
+    indicator-weighted reductions.  (An earlier formulation materialized
+    the [W, W] dX = bandᵀ @ (Y·ct) via a second separately-dispatched
+    dot_general and contracted it against a [W, W] iota-built ddx — ~4× the
+    VPU work, yet xprof measures both at 2.0× the forward: the kernel is
+    MXU-FLOP-bound, which is why the column-tiled v2 attacks the FLOP count
+    itself.  This form is kept as the simpler/equal-speed one.)
     """
     from jax.experimental import pallas as pl
 
@@ -259,40 +368,480 @@ def _bwd_kernel(
         ct = ct_ref[0, :, ii, :].astype(jnp.float32)  # [C, W]
         x0, t0, t1, wx, wy = _row_terms(xr, yr, s1, s2, w)
 
-        X = _build_X(x0, wx, W, dot_dtype)
-        G = jax.lax.dot(
-            band_flat, X,
-            precision=_dot_precision(dot_dtype),
-            preferred_element_type=jnp.float32,
-        )
-        Gc = G.reshape(C, window, W)
-
         iow = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
-        ior = jax.lax.broadcasted_iota(jnp.int32, (window, W), 0)
         x0b = x0[None, :]
-
-        Y = _build_Y(t0, t1, wy, window, W, jnp.float32)
-        dG = (Y[None] * ct[:, None, :]).reshape(C * window, W).astype(dot_dtype)
-        # dX[w, j] = sum_m band[m, w] * dG[m, j]
-        dX = jax.lax.dot_general(
-            band_flat, dG,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+        hi = (iow == x0b + 1).astype(dot_dtype)
+        lo = (iow == x0b).astype(dot_dtype)
+        X = lo * (1.0 - wx.astype(dot_dtype))[None, :] + hi * wx.astype(dot_dtype)[None, :]
+        Xd = hi - lo
+        GG = jax.lax.dot(
+            band_flat,
+            jnp.concatenate([X, Xd], axis=1),  # [W, 2W]
             precision=_dot_precision(dot_dtype),
             preferred_element_type=jnp.float32,
-        )  # [W_in, W_out]
-        ddx = ((iow == x0b + 1).astype(jnp.float32) - (iow == x0b).astype(jnp.float32))
-        dx = jnp.sum(dX * ddx, axis=0)  # [W]
+        )  # [C*window, 2W]
+        GG = GG.reshape(C, window, 2 * W)
+        Gc, G2c = GG[..., :W], GG[..., W:]
 
-        ddy = ((ior == t1[None, :]).astype(jnp.float32)
-               - (ior == t0[None, :]).astype(jnp.float32))
-        ct_g = jnp.sum(Gc * ct[:, None, :], axis=0)  # [window, W]
-        dy = jnp.sum(ct_g * ddy, axis=0)  # [W]
+        ior = jax.lax.broadcasted_iota(jnp.int32, (window, W), 0)
+        rhi = (ior == t1[None, :]).astype(jnp.float32)
+        rlo = (ior == t0[None, :]).astype(jnp.float32)
+        Y = rlo * (1.0 - wy)[None, :] + rhi * wy[None, :]
+        Yd = rhi - rlo
+
+        dx = jnp.sum(jnp.sum(G2c * Y[None], axis=1) * ct, axis=0)  # [W]
+        dy = jnp.sum(jnp.sum(Gc * Yd[None], axis=1) * ct, axis=0)  # [W]
 
         dx_ref[0, ii, :] = dx
         dy_ref[0, ii, :] = dy
         return 0
 
     jax.lax.fori_loop(0, TILE_H, row_body, 0)
+
+
+def _quad_dma(img_hbm, band, sems, b, s1y, s2y, s1x, s2x, wy2, xw2):
+    """Four quadrant DMAs into the [C, 2·wy2, 2·xw2] band scratch from the
+    given (row, column) half-window starts."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    copies = []
+    for qi, (sy, oy) in enumerate(((s1y, 0), (s2y, wy2))):
+        for qj, (sx, ox) in enumerate(((s1x, 0), (s2x, xw2))):
+            cp = pltpu.make_async_copy(
+                img_hbm.at[b, :, pl.ds(sy, wy2), pl.ds(sx, xw2)],
+                band.at[:, oy : oy + wy2, ox : ox + xw2],
+                sems[2 * qi + qj],
+            )
+            cp.start()
+            copies.append(cp)
+    for cp in copies:
+        cp.wait()
+
+
+def _quad_band_dma(img_hbm, x_ref, y_ref, band, sems, b, H, W, Hpad, wy2, xw2):
+    """v2: dynamic window starts in BOTH dims + the four quadrant DMAs.
+    Row starts are 8·idx, column starts TILE_W·idx — both provably aligned
+    for Mosaic's DMA divisibility analysis."""
+    ymin, ymax = _tile_minmax(y_ref[0], H)
+    i1y, i2y = _half_starts(ymin, ymax, Hpad, wy2)
+    s1y, s2y = 8 * i1y, 8 * i2y
+    xmin, xmax = _tile_minmax(x_ref[0], W)
+    i1x, i2x = _col_half_starts(xmin, xmax, W, xw2)
+    s1x, s2x = TILE_W * i1x, TILE_W * i2x
+    _quad_dma(img_hbm, band, sems, b, s1y, s2y, s1x, s2x, wy2, xw2)
+    return s1y, s2y, s1x, s2x
+
+
+def _tile_terms_v2(x_ref, y_ref, s1y, s2y, s1x, s2x, wy2, xw2):
+    """Flattened [TILE_H·TILE_W] per-pixel index math for one v2 tile."""
+    N = TILE_H * TILE_W
+    xr = x_ref[0].reshape(N)
+    yr = y_ref[0].reshape(N)
+    x0f = jnp.floor(xr)
+    y0f = jnp.floor(yr)
+    wx = (xr - x0f).astype(jnp.float32)
+    wy = (yr - y0f).astype(jnp.float32)
+    x0 = x0f.astype(jnp.int32)
+    y0p = y0f.astype(jnp.int32) + PAD_TOP
+    m0 = _map_rows(x0, s1x, s2x, xw2)
+    m1 = _map_rows(x0 + 1, s1x, s2x, xw2)
+    t0 = _map_rows(y0p, s1y, s2y, wy2)
+    t1 = _map_rows(y0p + 1, s1y, s2y, wy2)
+    return m0, m1, t0, t1, wx, wy
+
+
+def _v2_tile_fwd(band, x_ref, y_ref, out_ref, s1y, s2y, s1x, s2x, wy2, xw2,
+                 C, dot_dtype):
+    """One 8×128 output tile from a loaded [C, 2·wy2, 2·xw2] band: the
+    single MXU dot + indicator-weighted y reduction."""
+    band_flat = band[...].reshape(C * 2 * wy2, 2 * xw2).astype(dot_dtype)
+    m0, m1, t0, t1, wx, wy = _tile_terms_v2(x_ref, y_ref, s1y, s2y, s1x, s2x,
+                                            wy2, xw2)
+    N = TILE_H * TILE_W
+    iox = jax.lax.broadcasted_iota(jnp.int32, (2 * xw2, N), 0)
+    X = (
+        (iox == m0[None]).astype(dot_dtype) * (1.0 - wx).astype(dot_dtype)[None]
+        + (iox == m1[None]).astype(dot_dtype) * wx.astype(dot_dtype)[None]
+    )
+    G = jax.lax.dot(
+        band_flat, X,
+        precision=_dot_precision(dot_dtype),
+        preferred_element_type=jnp.float32,
+    )  # [C*2wy2, N]
+    ior = jax.lax.broadcasted_iota(jnp.int32, (2 * wy2, N), 0)
+    Y = (
+        (ior == t0[None]).astype(jnp.float32) * (1.0 - wy)[None]
+        + (ior == t1[None]).astype(jnp.float32) * wy[None]
+    )
+    out = jnp.sum(G.reshape(C, 2 * wy2, N) * Y[None], axis=1)  # [C, N]
+    out_ref[0] = out.reshape(C, TILE_H, TILE_W)
+
+
+def _v2_tile_bwd(band, x_ref, y_ref, ct_ref, dx_ref, dy_ref,
+                 s1y, s2y, s1x, s2x, wy2, xw2, C, dot_dtype):
+    """Coordinate cotangents for one tile: stacked ``band @ [X | Xd]``
+    (see the v1 ``_bwd_kernel`` derivation) + two weighted reductions."""
+    band_flat = band[...].reshape(C * 2 * wy2, 2 * xw2).astype(dot_dtype)
+    m0, m1, t0, t1, wx, wy = _tile_terms_v2(x_ref, y_ref, s1y, s2y, s1x, s2x,
+                                            wy2, xw2)
+    N = TILE_H * TILE_W
+    ct = ct_ref[0].reshape(C, N).astype(jnp.float32)
+    iox = jax.lax.broadcasted_iota(jnp.int32, (2 * xw2, N), 0)
+    hi = (iox == m1[None]).astype(dot_dtype)
+    lo = (iox == m0[None]).astype(dot_dtype)
+    X = lo * (1.0 - wx).astype(dot_dtype)[None] + hi * wx.astype(dot_dtype)[None]
+    GG = jax.lax.dot(
+        band_flat,
+        jnp.concatenate([X, hi - lo], axis=1),  # [2xw2, 2N]
+        precision=_dot_precision(dot_dtype),
+        preferred_element_type=jnp.float32,
+    ).reshape(C, 2 * wy2, 2 * N)
+    Gc, G2c = GG[..., :N], GG[..., N:]
+    ior = jax.lax.broadcasted_iota(jnp.int32, (2 * wy2, N), 0)
+    rhi = (ior == t1[None]).astype(jnp.float32)
+    rlo = (ior == t0[None]).astype(jnp.float32)
+    Y = rlo * (1.0 - wy)[None] + rhi * wy[None]
+    dx = jnp.sum(jnp.sum(G2c * Y[None], axis=1) * ct, axis=0)
+    dy = jnp.sum(jnp.sum(Gc * (rhi - rlo)[None], axis=1) * ct, axis=0)
+    dx_ref[0] = dx.reshape(TILE_H, TILE_W)
+    dy_ref[0] = dy.reshape(TILE_H, TILE_W)
+
+
+def _fwd_kernel_v2(
+    img_hbm, x_ref, y_ref, out_ref, band, *sems,
+    C, H, W, Hpad, ywin, xwin, dot_dtype,
+):
+    """Grid (B, H/8, W/128): one 8×128 output tile per step, ALL its rows
+    in ONE MXU dot.
+
+    The v1 kernel's x-interp matmul runs over the full row (``[C·window, W]
+    @ [W, W]`` per output row) — x-displacement is just as coherent as y,
+    so v2 banding BOTH dims shrinks the dot to ``[C·ywin, xwin] @
+    [xwin, 8·128]`` per tile: ~5× fewer FLOPs at the production shape for a
+    kernel measured MXU-FLOP-bound (docs/PERF.md round 3)."""
+    from jax.experimental import pallas as pl
+
+    b = pl.program_id(0)
+    wy2, xw2 = ywin // 2, xwin // 2
+    s1y, s2y, s1x, s2x = _quad_band_dma(
+        img_hbm, x_ref, y_ref, band, sems, b, H, W, Hpad, wy2, xw2
+    )
+    _v2_tile_fwd(band, x_ref, y_ref, out_ref, s1y, s2y, s1x, s2x, wy2, xw2,
+                 C, dot_dtype)
+
+
+def _bwd_kernel_v2(
+    img_hbm, x_ref, y_ref, ct_ref, dx_ref, dy_ref, band, *sems,
+    C, H, W, Hpad, ywin, xwin, dot_dtype,
+):
+    """v2 coordinate cotangents: same one-dot structure as the v2 forward
+    with the stacked ``band @ [X | Xd]`` (see the v1 ``_bwd_kernel``
+    derivation), at the column-tiled FLOP count."""
+    from jax.experimental import pallas as pl
+
+    b = pl.program_id(0)
+    wy2, xw2 = ywin // 2, xwin // 2
+    s1y, s2y, s1x, s2x = _quad_band_dma(
+        img_hbm, x_ref, y_ref, band, sems, b, H, W, Hpad, wy2, xw2
+    )
+    _v2_tile_bwd(band, x_ref, y_ref, ct_ref, dx_ref, dy_ref,
+                 s1y, s2y, s1x, s2x, wy2, xw2, C, dot_dtype)
+
+
+def _call_fwd_v2(image, x, y, ywin, xwin, dot_dtype, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W, C = image.shape
+    img_pad, Hpad = _prep_image(image, ywin)
+    kernel = functools.partial(
+        _fwd_kernel_v2, C=C, H=H, W=W, Hpad=Hpad, ywin=ywin, xwin=xwin,
+        dot_dtype=dot_dtype,
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    coords_spec = pl.BlockSpec((1, TILE_H, TILE_W), lambda b, t, u: (b, t, u),
+                               memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, H // TILE_H, W // TILE_W),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), coords_spec, coords_spec],
+        out_specs=pl.BlockSpec((1, C, TILE_H, TILE_W), lambda b, t, u: (b, 0, t, u),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, H, W), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((C, ywin, xwin), image.dtype)]
+        + [pltpu.SemaphoreType.DMA(())] * 4,
+        interpret=interpret,
+        **kwargs,
+    )(img_pad, x, y)
+    return out.transpose(0, 2, 3, 1)
+
+
+def _call_bwd_coords_v2(image, x, y, ct, ywin, xwin, dot_dtype, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W, C = image.shape
+    img_pad, Hpad = _prep_image(image, ywin)
+    ct_cf = ct.transpose(0, 3, 1, 2)
+    kernel = functools.partial(
+        _bwd_kernel_v2, C=C, H=H, W=W, Hpad=Hpad, ywin=ywin, xwin=xwin,
+        dot_dtype=dot_dtype,
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    coords_spec = pl.BlockSpec((1, TILE_H, TILE_W), lambda b, t, u: (b, t, u),
+                               memory_space=pltpu.VMEM)
+    dx, dy = pl.pallas_call(
+        kernel,
+        grid=(B, H // TILE_H, W // TILE_W),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            coords_spec,
+            coords_spec,
+            pl.BlockSpec((1, C, TILE_H, TILE_W), lambda b, t, u: (b, 0, t, u),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[coords_spec, coords_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((C, ywin, xwin), image.dtype)]
+        + [pltpu.SemaphoreType.DMA(())] * 4,
+        interpret=interpret,
+        **kwargs,
+    )(img_pad, x, y, ct_cf)
+    return dx, dy
+
+
+def _tiled_fwd_kernel(
+    flags_ref, img_hbm, x_ref, y_ref, out_ref, band_n, band_w, *sems,
+    C, H, W, Hpad, ywin, xwin, wy2w, xw2w, dot_dtype,
+):
+    """Unified tile-granular forward: grid (B, H/8, W/128), one 8x128 tile
+    per step.  Unflagged tiles take the NARROW branch (dynamic two-half
+    windows per dim, the cheap dot); flagged tiles take the WHOLE-PLANE
+    branch (static window pair per dim: y halves (0, Hpad-wy2w), x halves
+    (0, W-xw2w) with 2*wy2w >= Hpad and 2*xw2w >= W, so every corner maps).
+    One kernel, one grid, no separate patch pass / merge (an earlier
+    two-kernel version spent ~30 ms/step streaming coords through a
+    mostly-skipped patch grid, docs/PERF.md round 3)."""
+    from jax.experimental import pallas as pl
+
+    b = pl.program_id(0)
+    th = pl.program_id(1)
+    tw = pl.program_id(2)
+    nh, nw = pl.num_programs(1), pl.num_programs(2)
+    flag = flags_ref[(b * nh + th) * nw + tw]
+
+    @pl.when(flag == 0)
+    def _():
+        wy2, xw2 = ywin // 2, xwin // 2
+        s1y, s2y, s1x, s2x = _quad_band_dma(
+            img_hbm, x_ref, y_ref, band_n, sems, b, H, W, Hpad, wy2, xw2
+        )
+        _v2_tile_fwd(band_n, x_ref, y_ref, out_ref, s1y, s2y, s1x, s2x,
+                     wy2, xw2, C, dot_dtype)
+
+    @pl.when(flag != 0)
+    def _():
+        s1y, s2y, s1x, s2x = 0, Hpad - wy2w, 0, W - xw2w
+        _quad_dma(img_hbm, band_w, sems, b, s1y, s2y, s1x, s2x, wy2w, xw2w)
+        _v2_tile_fwd(band_w, x_ref, y_ref, out_ref, s1y, s2y, s1x, s2x,
+                     wy2w, xw2w, C, dot_dtype)
+
+
+def _tiled_bwd_kernel(
+    flags_ref, img_hbm, x_ref, y_ref, ct_ref, dx_ref, dy_ref, band_n, band_w,
+    *sems, C, H, W, Hpad, ywin, xwin, wy2w, xw2w, dot_dtype,
+):
+    from jax.experimental import pallas as pl
+
+    b = pl.program_id(0)
+    th = pl.program_id(1)
+    tw = pl.program_id(2)
+    nh, nw = pl.num_programs(1), pl.num_programs(2)
+    flag = flags_ref[(b * nh + th) * nw + tw]
+
+    @pl.when(flag == 0)
+    def _():
+        wy2, xw2 = ywin // 2, xwin // 2
+        s1y, s2y, s1x, s2x = _quad_band_dma(
+            img_hbm, x_ref, y_ref, band_n, sems, b, H, W, Hpad, wy2, xw2
+        )
+        _v2_tile_bwd(band_n, x_ref, y_ref, ct_ref, dx_ref, dy_ref,
+                     s1y, s2y, s1x, s2x, wy2, xw2, C, dot_dtype)
+
+    @pl.when(flag != 0)
+    def _():
+        s1y, s2y, s1x, s2x = 0, Hpad - wy2w, 0, W - xw2w
+        _quad_dma(img_hbm, band_w, sems, b, s1y, s2y, s1x, s2x, wy2w, xw2w)
+        _v2_tile_bwd(band_w, x_ref, y_ref, ct_ref, dx_ref, dy_ref,
+                     s1y, s2y, s1x, s2x, wy2w, xw2w, C, dot_dtype)
+
+
+def _call_tiled_fwd(image, flags, x, y, ywin, xwin, dot_dtype, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W, C = image.shape
+    img_pad, Hpad = _prep_image(image, ywin)
+    wy2w, xw2w = _patch_windows(Hpad, W)
+    kernel = functools.partial(
+        _tiled_fwd_kernel, C=C, H=H, W=W, Hpad=Hpad, ywin=ywin, xwin=xwin,
+        wy2w=wy2w, xw2w=xw2w, dot_dtype=dot_dtype,
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    coords_spec = pl.BlockSpec((1, TILE_H, TILE_W), lambda b, t, u, *_: (b, t, u),
+                               memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H // TILE_H, W // TILE_W),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), coords_spec, coords_spec],
+        out_specs=pl.BlockSpec((1, C, TILE_H, TILE_W),
+                               lambda b, t, u, *_: (b, 0, t, u),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((C, ywin, xwin), image.dtype),
+            pltpu.VMEM((C, 2 * wy2w, 2 * xw2w), image.dtype),
+        ]
+        + [pltpu.SemaphoreType.DMA(())] * 4,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, C, H, W), jnp.float32),
+        interpret=interpret,
+        **kwargs,
+    )(flags.reshape(-1), img_pad, x, y)
+    return out.transpose(0, 2, 3, 1)
+
+
+def _call_tiled_bwd(image, flags, x, y, ct, ywin, xwin, dot_dtype,
+                    interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W, C = image.shape
+    img_pad, Hpad = _prep_image(image, ywin)
+    wy2w, xw2w = _patch_windows(Hpad, W)
+    ct_cf = ct.transpose(0, 3, 1, 2)
+    kernel = functools.partial(
+        _tiled_bwd_kernel, C=C, H=H, W=W, Hpad=Hpad, ywin=ywin, xwin=xwin,
+        wy2w=wy2w, xw2w=xw2w, dot_dtype=dot_dtype,
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    coords_spec = pl.BlockSpec((1, TILE_H, TILE_W), lambda b, t, u, *_: (b, t, u),
+                               memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H // TILE_H, W // TILE_W),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            coords_spec, coords_spec,
+            pl.BlockSpec((1, C, TILE_H, TILE_W),
+                         lambda b, t, u, *_: (b, 0, t, u),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[coords_spec, coords_spec],
+        scratch_shapes=[
+            pltpu.VMEM((C, ywin, xwin), image.dtype),
+            pltpu.VMEM((C, 2 * wy2w, 2 * xw2w), image.dtype),
+        ]
+        + [pltpu.SemaphoreType.DMA(())] * 4,
+    )
+    dx, dy = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(flags.reshape(-1), img_pad, x, y, ct_cf)
+    return dx, dy
+
+
+def _tiled_flags(image, x, y, ywin, xwin):
+    H, W = image.shape[1], image.shape[2]
+    Hpad = max(_pad_geometry(H), ywin // 2)
+    return _tile_violations_v2(x, y, H, W, Hpad, ywin, xwin).astype(jnp.int32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _warp_tiled_prim(image, x, y, ywin, xwin, dot_dtype, interpret):
+    """Tile-granular warp: narrow windows everywhere, whole-plane windows on
+    the per-tile-flagged spread violators, in ONE kernel."""
+    flags = _tiled_flags(image, x, y, ywin, xwin)
+    return _call_tiled_fwd(image, flags, x, y, ywin, xwin, dot_dtype, interpret)
+
+
+def _warp_tiled_prim_fwd(image, x, y, ywin, xwin, dot_dtype, interpret):
+    flags = _tiled_flags(image, x, y, ywin, xwin)
+    out = _call_tiled_fwd(image, flags, x, y, ywin, xwin, dot_dtype, interpret)
+    return out, (image, x, y, flags)
+
+
+def _warp_tiled_prim_bwd(ywin, xwin, dot_dtype, interpret, res, ct_out):
+    image, x, y, flags = res
+    ct_out = jnp.asarray(ct_out, jnp.float32)
+    dx, dy = _call_tiled_bwd(image, flags, x, y, ct_out, ywin, xwin,
+                             dot_dtype, interpret)
+    # image cotangent: jnp gather-transpose, DCE'd when unused (see v1)
+    from .resample import _resample_bilinear_4gather
+
+    _, vjp_img = jax.vjp(
+        lambda im: _resample_bilinear_4gather(im, x, y), image
+    )
+    (d_image,) = vjp_img(ct_out.astype(image.dtype))
+    return d_image, dx, dy
+
+
+_warp_tiled_prim.defvjp(_warp_tiled_prim_fwd, _warp_tiled_prim_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _warp_banded_prim_v2(image, x, y, ywin, xwin, dot_dtype, interpret):
+    return _call_fwd_v2(image, x, y, ywin, xwin, dot_dtype, interpret)
+
+
+def _warp_banded_prim_v2_fwd(image, x, y, ywin, xwin, dot_dtype, interpret):
+    out = _warp_banded_prim_v2(image, x, y, ywin, xwin, dot_dtype, interpret)
+    return out, (image, x, y)
+
+
+def _warp_banded_prim_v2_bwd(ywin, xwin, dot_dtype, interpret, res, ct_out):
+    image, x, y = res
+    ct_out = jnp.asarray(ct_out, jnp.float32)
+    dx, dy = _call_bwd_coords_v2(image, x, y, ct_out, ywin, xwin, dot_dtype, interpret)
+    # image cotangent: jnp gather-transpose, DCE'd when unused (see v1)
+    from .resample import _resample_bilinear_4gather
+
+    _, vjp_img = jax.vjp(
+        lambda im: _resample_bilinear_4gather(im, x, y), image
+    )
+    (d_image,) = vjp_img(ct_out.astype(image.dtype))
+    return d_image, dx, dy
+
+
+_warp_banded_prim_v2.defvjp(_warp_banded_prim_v2_fwd, _warp_banded_prim_v2_bwd)
 
 
 def _prep_image(image, window):
@@ -464,25 +1013,38 @@ _warp_banded_prim.defvjp(_warp_banded_prim_fwd, _warp_banded_prim_bwd)
 
 
 def warp_banded(image, x, y, window=128, dot_dtype=jnp.float32,
-                interpret=False):
+                interpret=False, xwin=512, ywin=96):
     """Gather-free banded bilinear warp, always exact.
 
     Drop-in for ``ops.resample.resample_bilinear`` on same-resolution warps
-    (x, y of shape [B, H, W]).  The jnp-side spread predicate
-    (:func:`_window_violation`, ~1 ms) decides BEFORE any sampling work
-    whether every 8-row tile's in-image sample rows fit its two
-    half-windows; the ``lax.cond`` then runs the kernel either with the
-    fast ``window`` or with the whole-plane window pair (never violable,
-    proportionally costlier matmuls) — exactly one kernel per step, no
-    gather anywhere.
+    (x, y of shape [B, H, W]).  Production path (``xwin``/``ywin`` ≥ the v2
+    minima): the TILE-GRANULAR composite — the v2 column-tiled kernel (both
+    dims banded, one MXU dot per 8×128 tile) everywhere, plus a whole-plane-
+    window patch kernel that recomputes only the tiles whose corner spread
+    exceeds the v2 windows (``pl.when``-gated per tile), merged per tile.
+    No whole-call fallback cliff: a handful of wild tiles (border-clipped
+    bimodal coords at random init) costs a handful of wide-window tiles,
+    not a whole-plane wide kernel (docs/PERF.md round 3).
+
+    ``xwin < 256`` / ``ywin < 16`` selects the legacy v1 row-banded kernel
+    with its whole-call wide fallback (kept for ablation via
+    TPU.WARP_XWIN=0).
     """
     B, H, W, _ = image.shape
     imgp, xp, yp = _pad_align(image, x, y)
-    Hp = imgp.shape[1]
+    Hp, Wp = imgp.shape[1], imgp.shape[2]
     wide = never_violating_window(Hp)
     window = min(window, wide)
     Hpad = max(_pad_geometry(Hp), window // 2)
-    viol_any = _window_violation(yp, Hp, Hpad, window)
+
+    use_v2 = xwin >= 256 and ywin >= 16 and W >= V2_MIN_W
+    if use_v2:
+        # tile-granular: v2 column-tiled kernel + per-tile whole-plane patch,
+        # no whole-call predicate / branch at all
+        ywin = min(ywin, wide)
+        xwin = min(xwin, 2 * Wp)
+        out = _warp_tiled_prim(imgp, xp, yp, ywin, xwin, dot_dtype, interpret)
+        return out[:, :H, :W].astype(image.dtype)
 
     def _fast(imp, xxp, yyp):
         out = _warp_banded_prim(imp, xxp, yyp, window, dot_dtype, interpret)
@@ -494,4 +1056,5 @@ def warp_banded(image, x, y, window=128, dot_dtype=jnp.float32,
 
     if window == wide:
         return _fast(imgp, xp, yp)
+    viol_any = _window_violation(yp, Hp, Hpad, window)
     return jax.lax.cond(viol_any, _wide, _fast, imgp, xp, yp)

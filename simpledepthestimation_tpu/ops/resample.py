@@ -58,16 +58,24 @@ _BANDED_MIN_W = 256
 # more vertical spread per 8-row tile (fewer exact-gather fallback steps in
 # early training) at ~linear extra matmul cost.
 _WARP_WINDOW = 128
+# v2 column-tiled kernel windows (cfg TPU.WARP_XWIN / WARP_YWIN; 0 = v2 off).
+_WARP_XWIN = 512
+_WARP_YWIN = 96
 
 
-def set_warp_impl(impl: str, window: int = None) -> None:
+def set_warp_impl(impl: str, window: int = None, xwin: int = None,
+                  ywin: int = None) -> None:
     """Select the warp backend (module-level, read at trace time)."""
-    global _WARP_IMPL, _WARP_WINDOW
+    global _WARP_IMPL, _WARP_WINDOW, _WARP_XWIN, _WARP_YWIN
     if impl not in _WARP_IMPLS:
         raise ValueError(f"warp impl {impl!r} not in {_WARP_IMPLS}")
     _WARP_IMPL = impl
     if window is not None:
         _WARP_WINDOW = int(window)
+    if xwin is not None:
+        _WARP_XWIN = int(xwin)
+    if ywin is not None:
+        _WARP_YWIN = int(ywin)
 
 
 def _gather_corner(
@@ -149,7 +157,8 @@ def resample_bilinear(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp
         if pallas_warp.eligible(image, x, y) and jax.default_backend() == "tpu":
             dd = jnp.float32 if _WARP_IMPL == "banded_f32" else jnp.bfloat16
             return pallas_warp.warp_banded(
-                image, x, y, window=_WARP_WINDOW, dot_dtype=dd
+                image, x, y, window=_WARP_WINDOW, dot_dtype=dd,
+                xwin=_WARP_XWIN, ywin=_WARP_YWIN,
             )
     return _resample_gather_auto(image, x, y)
 
