@@ -75,6 +75,13 @@ import jax.numpy as jnp
 
 TILE_H = 8
 TILE_W = 128  # v2 output-column tile (one lane group)
+# v2/tiled-path output tile height (multiple of 8: row starts stay 8·idx
+# aligned).  16 doubles the per-dot output width [.., 2048] and halves the
+# per-tile fixed overhead (DMA issue, minmax, window logic) at the cost of
+# a tighter y-spread budget per tile (the tile spans 8 more rows).
+# Module-level so microbench sweeps can set it before tracing; v1 row
+# kernels stay at TILE_H.
+V2_TILE_H = 8
 # Below this image width the v2 column windows can't undercut the v1
 # whole-row matmul (xwin 512 vs W plus per-tile overhead): measured at the
 # flagship's 320-wide scale-1 plane, v1-wide 21 ms vs v2 30 ms per step.
@@ -203,9 +210,9 @@ def _tile_violations_v2(x, y, H, W, Hpad, ywin, xwin):
     of the flagship bench ran the wide kernel)."""
     B, Hy, Wx = x.shape
     wy2, xw2 = ywin // 2, xwin // 2
-    nh, nw = Hy // TILE_H, Wx // TILE_W
-    x0 = jnp.floor(x).reshape(B, nh, TILE_H, nw, TILE_W)
-    y0 = jnp.floor(y).reshape(B, nh, TILE_H, nw, TILE_W)
+    nh, nw = Hy // V2_TILE_H, Wx // TILE_W
+    x0 = jnp.floor(x).reshape(B, nh, V2_TILE_H, nw, TILE_W)
+    y0 = jnp.floor(y).reshape(B, nh, V2_TILE_H, nw, TILE_W)
 
     ymin = jnp.min(jnp.clip(y0, 0.0, float(H - 1)), axis=(2, 4)).astype(jnp.int32)
     ymax = jnp.max(jnp.clip(y0 + 1.0, 0.0, float(H - 1)), axis=(2, 4)).astype(jnp.int32)
@@ -228,7 +235,7 @@ def _tile_violations_v2(x, y, H, W, Hpad, ywin, xwin):
         return ~(((c >= s1x) & (c < s1x + xw2)) | ((c >= s2x) & (c < s2x + xw2)))
 
     bad_y = [((cy >= 0) & (cy <= H - 1), y_unmapped(cy)) for cy in (y0, y0 + 1.0)]
-    viol = jnp.zeros((B, nh, TILE_H, nw, TILE_W), bool)
+    viol = jnp.zeros((B, nh, V2_TILE_H, nw, TILE_W), bool)
     for cx in (x0, x0 + 1.0):
         in_x = (cx >= 0) & (cx <= W - 1)
         ux = x_unmapped(cx)
@@ -400,8 +407,10 @@ def _bwd_kernel(
 
 
 def _quad_dma(img_hbm, band, sems, b, s1y, s2y, s1x, s2x, wy2, xw2):
-    """Four quadrant DMAs into the [C, 2·wy2, 2·xw2] band scratch from the
-    given (row, column) half-window starts."""
+    """Start four quadrant DMAs into the [C, 2·wy2, 2·xw2] band scratch from
+    the given (row, column) half-window starts; returns the in-flight copies
+    so the caller can overlap the VPU indicator build with the transfer and
+    wait only at the first band read."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -415,27 +424,27 @@ def _quad_dma(img_hbm, band, sems, b, s1y, s2y, s1x, s2x, wy2, xw2):
             )
             cp.start()
             copies.append(cp)
-    for cp in copies:
-        cp.wait()
+    return copies
 
 
 def _quad_band_dma(img_hbm, x_ref, y_ref, band, sems, b, H, W, Hpad, wy2, xw2):
-    """v2: dynamic window starts in BOTH dims + the four quadrant DMAs.
-    Row starts are 8·idx, column starts TILE_W·idx — both provably aligned
-    for Mosaic's DMA divisibility analysis."""
+    """v2: dynamic window starts in BOTH dims + the four quadrant DMAs
+    (started, not waited — see :func:`_quad_dma`).  Row starts are 8·idx,
+    column starts TILE_W·idx — both provably aligned for Mosaic's DMA
+    divisibility analysis."""
     ymin, ymax = _tile_minmax(y_ref[0], H)
     i1y, i2y = _half_starts(ymin, ymax, Hpad, wy2)
     s1y, s2y = 8 * i1y, 8 * i2y
     xmin, xmax = _tile_minmax(x_ref[0], W)
     i1x, i2x = _col_half_starts(xmin, xmax, W, xw2)
     s1x, s2x = TILE_W * i1x, TILE_W * i2x
-    _quad_dma(img_hbm, band, sems, b, s1y, s2y, s1x, s2x, wy2, xw2)
-    return s1y, s2y, s1x, s2x
+    copies = _quad_dma(img_hbm, band, sems, b, s1y, s2y, s1x, s2x, wy2, xw2)
+    return s1y, s2y, s1x, s2x, copies
 
 
 def _tile_terms_v2(x_ref, y_ref, s1y, s2y, s1x, s2x, wy2, xw2):
-    """Flattened [TILE_H·TILE_W] per-pixel index math for one v2 tile."""
-    N = TILE_H * TILE_W
+    """Flattened [V2_TILE_H·TILE_W] per-pixel index math for one v2 tile."""
+    N = V2_TILE_H * TILE_W
     xr = x_ref[0].reshape(N)
     yr = y_ref[0].reshape(N)
     x0f = jnp.floor(xr)
@@ -452,18 +461,22 @@ def _tile_terms_v2(x_ref, y_ref, s1y, s2y, s1x, s2x, wy2, xw2):
 
 
 def _v2_tile_fwd(band, x_ref, y_ref, out_ref, s1y, s2y, s1x, s2x, wy2, xw2,
-                 C, dot_dtype):
+                 C, dot_dtype, copies=()):
     """One 8×128 output tile from a loaded [C, 2·wy2, 2·xw2] band: the
-    single MXU dot + indicator-weighted y reduction."""
-    band_flat = band[...].reshape(C * 2 * wy2, 2 * xw2).astype(dot_dtype)
+    single MXU dot + indicator-weighted y reduction.  ``copies`` are the
+    in-flight band DMAs: the VPU indicator build needs only the coords, so
+    it runs under the transfer; the wait lands just before the band read."""
     m0, m1, t0, t1, wx, wy = _tile_terms_v2(x_ref, y_ref, s1y, s2y, s1x, s2x,
                                             wy2, xw2)
-    N = TILE_H * TILE_W
+    N = V2_TILE_H * TILE_W
     iox = jax.lax.broadcasted_iota(jnp.int32, (2 * xw2, N), 0)
     X = (
         (iox == m0[None]).astype(dot_dtype) * (1.0 - wx).astype(dot_dtype)[None]
         + (iox == m1[None]).astype(dot_dtype) * wx.astype(dot_dtype)[None]
     )
+    for cp in copies:
+        cp.wait()
+    band_flat = band[...].reshape(C * 2 * wy2, 2 * xw2).astype(dot_dtype)
     G = jax.lax.dot(
         band_flat, X,
         precision=_dot_precision(dot_dtype),
@@ -475,22 +488,25 @@ def _v2_tile_fwd(band, x_ref, y_ref, out_ref, s1y, s2y, s1x, s2x, wy2, xw2,
         + (ior == t1[None]).astype(jnp.float32) * wy[None]
     )
     out = jnp.sum(G.reshape(C, 2 * wy2, N) * Y[None], axis=1)  # [C, N]
-    out_ref[0] = out.reshape(C, TILE_H, TILE_W)
+    out_ref[0] = out.reshape(C, V2_TILE_H, TILE_W)
 
 
 def _v2_tile_bwd(band, x_ref, y_ref, ct_ref, dx_ref, dy_ref,
-                 s1y, s2y, s1x, s2x, wy2, xw2, C, dot_dtype):
+                 s1y, s2y, s1x, s2x, wy2, xw2, C, dot_dtype, copies=()):
     """Coordinate cotangents for one tile: stacked ``band @ [X | Xd]``
-    (see the v1 ``_bwd_kernel`` derivation) + two weighted reductions."""
-    band_flat = band[...].reshape(C * 2 * wy2, 2 * xw2).astype(dot_dtype)
+    (see the v1 ``_bwd_kernel`` derivation) + two weighted reductions.
+    ``copies``: in-flight band DMAs, waited at the band read (as in fwd)."""
     m0, m1, t0, t1, wx, wy = _tile_terms_v2(x_ref, y_ref, s1y, s2y, s1x, s2x,
                                             wy2, xw2)
-    N = TILE_H * TILE_W
+    N = V2_TILE_H * TILE_W
     ct = ct_ref[0].reshape(C, N).astype(jnp.float32)
     iox = jax.lax.broadcasted_iota(jnp.int32, (2 * xw2, N), 0)
     hi = (iox == m1[None]).astype(dot_dtype)
     lo = (iox == m0[None]).astype(dot_dtype)
     X = lo * (1.0 - wx).astype(dot_dtype)[None] + hi * wx.astype(dot_dtype)[None]
+    for cp in copies:
+        cp.wait()
+    band_flat = band[...].reshape(C * 2 * wy2, 2 * xw2).astype(dot_dtype)
     GG = jax.lax.dot(
         band_flat,
         jnp.concatenate([X, hi - lo], axis=1),  # [2xw2, 2N]
@@ -504,8 +520,8 @@ def _v2_tile_bwd(band, x_ref, y_ref, ct_ref, dx_ref, dy_ref,
     Y = rlo * (1.0 - wy)[None] + rhi * wy[None]
     dx = jnp.sum(jnp.sum(G2c * Y[None], axis=1) * ct, axis=0)
     dy = jnp.sum(jnp.sum(Gc * (rhi - rlo)[None], axis=1) * ct, axis=0)
-    dx_ref[0] = dx.reshape(TILE_H, TILE_W)
-    dy_ref[0] = dy.reshape(TILE_H, TILE_W)
+    dx_ref[0] = dx.reshape(V2_TILE_H, TILE_W)
+    dy_ref[0] = dy.reshape(V2_TILE_H, TILE_W)
 
 
 def _fwd_kernel_v2(
@@ -524,11 +540,11 @@ def _fwd_kernel_v2(
 
     b = pl.program_id(0)
     wy2, xw2 = ywin // 2, xwin // 2
-    s1y, s2y, s1x, s2x = _quad_band_dma(
+    s1y, s2y, s1x, s2x, copies = _quad_band_dma(
         img_hbm, x_ref, y_ref, band, sems, b, H, W, Hpad, wy2, xw2
     )
     _v2_tile_fwd(band, x_ref, y_ref, out_ref, s1y, s2y, s1x, s2x, wy2, xw2,
-                 C, dot_dtype)
+                 C, dot_dtype, copies)
 
 
 def _bwd_kernel_v2(
@@ -542,11 +558,11 @@ def _bwd_kernel_v2(
 
     b = pl.program_id(0)
     wy2, xw2 = ywin // 2, xwin // 2
-    s1y, s2y, s1x, s2x = _quad_band_dma(
+    s1y, s2y, s1x, s2x, copies = _quad_band_dma(
         img_hbm, x_ref, y_ref, band, sems, b, H, W, Hpad, wy2, xw2
     )
     _v2_tile_bwd(band, x_ref, y_ref, ct_ref, dx_ref, dy_ref,
-                 s1y, s2y, s1x, s2x, wy2, xw2, C, dot_dtype)
+                 s1y, s2y, s1x, s2x, wy2, xw2, C, dot_dtype, copies)
 
 
 def _call_fwd_v2(image, x, y, ywin, xwin, dot_dtype, interpret=False):
@@ -564,13 +580,13 @@ def _call_fwd_v2(image, x, y, ywin, xwin, dot_dtype, interpret=False):
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         )
-    coords_spec = pl.BlockSpec((1, TILE_H, TILE_W), lambda b, t, u: (b, t, u),
+    coords_spec = pl.BlockSpec((1, V2_TILE_H, TILE_W), lambda b, t, u: (b, t, u),
                                memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(B, H // TILE_H, W // TILE_W),
+        grid=(B, H // V2_TILE_H, W // TILE_W),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY), coords_spec, coords_spec],
-        out_specs=pl.BlockSpec((1, C, TILE_H, TILE_W), lambda b, t, u: (b, 0, t, u),
+        out_specs=pl.BlockSpec((1, C, V2_TILE_H, TILE_W), lambda b, t, u: (b, 0, t, u),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, C, H, W), jnp.float32),
         scratch_shapes=[pltpu.VMEM((C, ywin, xwin), image.dtype)]
@@ -597,16 +613,16 @@ def _call_bwd_coords_v2(image, x, y, ct, ywin, xwin, dot_dtype, interpret=False)
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         )
-    coords_spec = pl.BlockSpec((1, TILE_H, TILE_W), lambda b, t, u: (b, t, u),
+    coords_spec = pl.BlockSpec((1, V2_TILE_H, TILE_W), lambda b, t, u: (b, t, u),
                                memory_space=pltpu.VMEM)
     dx, dy = pl.pallas_call(
         kernel,
-        grid=(B, H // TILE_H, W // TILE_W),
+        grid=(B, H // V2_TILE_H, W // TILE_W),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             coords_spec,
             coords_spec,
-            pl.BlockSpec((1, C, TILE_H, TILE_W), lambda b, t, u: (b, 0, t, u),
+            pl.BlockSpec((1, C, V2_TILE_H, TILE_W), lambda b, t, u: (b, 0, t, u),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[coords_spec, coords_spec],
@@ -645,18 +661,19 @@ def _tiled_fwd_kernel(
     @pl.when(flag == 0)
     def _():
         wy2, xw2 = ywin // 2, xwin // 2
-        s1y, s2y, s1x, s2x = _quad_band_dma(
+        s1y, s2y, s1x, s2x, copies = _quad_band_dma(
             img_hbm, x_ref, y_ref, band_n, sems, b, H, W, Hpad, wy2, xw2
         )
         _v2_tile_fwd(band_n, x_ref, y_ref, out_ref, s1y, s2y, s1x, s2x,
-                     wy2, xw2, C, dot_dtype)
+                     wy2, xw2, C, dot_dtype, copies)
 
     @pl.when(flag != 0)
     def _():
         s1y, s2y, s1x, s2x = 0, Hpad - wy2w, 0, W - xw2w
-        _quad_dma(img_hbm, band_w, sems, b, s1y, s2y, s1x, s2x, wy2w, xw2w)
+        copies = _quad_dma(img_hbm, band_w, sems, b, s1y, s2y, s1x, s2x,
+                           wy2w, xw2w)
         _v2_tile_fwd(band_w, x_ref, y_ref, out_ref, s1y, s2y, s1x, s2x,
-                     wy2w, xw2w, C, dot_dtype)
+                     wy2w, xw2w, C, dot_dtype, copies)
 
 
 def _tiled_bwd_kernel(
@@ -674,18 +691,19 @@ def _tiled_bwd_kernel(
     @pl.when(flag == 0)
     def _():
         wy2, xw2 = ywin // 2, xwin // 2
-        s1y, s2y, s1x, s2x = _quad_band_dma(
+        s1y, s2y, s1x, s2x, copies = _quad_band_dma(
             img_hbm, x_ref, y_ref, band_n, sems, b, H, W, Hpad, wy2, xw2
         )
         _v2_tile_bwd(band_n, x_ref, y_ref, ct_ref, dx_ref, dy_ref,
-                     s1y, s2y, s1x, s2x, wy2, xw2, C, dot_dtype)
+                     s1y, s2y, s1x, s2x, wy2, xw2, C, dot_dtype, copies)
 
     @pl.when(flag != 0)
     def _():
         s1y, s2y, s1x, s2x = 0, Hpad - wy2w, 0, W - xw2w
-        _quad_dma(img_hbm, band_w, sems, b, s1y, s2y, s1x, s2x, wy2w, xw2w)
+        copies = _quad_dma(img_hbm, band_w, sems, b, s1y, s2y, s1x, s2x,
+                           wy2w, xw2w)
         _v2_tile_bwd(band_w, x_ref, y_ref, ct_ref, dx_ref, dy_ref,
-                     s1y, s2y, s1x, s2x, wy2w, xw2w, C, dot_dtype)
+                     s1y, s2y, s1x, s2x, wy2w, xw2w, C, dot_dtype, copies)
 
 
 def _call_tiled_fwd(image, flags, x, y, ywin, xwin, dot_dtype, interpret=False):
@@ -704,13 +722,13 @@ def _call_tiled_fwd(image, flags, x, y, ywin, xwin, dot_dtype, interpret=False):
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         )
-    coords_spec = pl.BlockSpec((1, TILE_H, TILE_W), lambda b, t, u, *_: (b, t, u),
+    coords_spec = pl.BlockSpec((1, V2_TILE_H, TILE_W), lambda b, t, u, *_: (b, t, u),
                                memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, H // TILE_H, W // TILE_W),
+        grid=(B, H // V2_TILE_H, W // TILE_W),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY), coords_spec, coords_spec],
-        out_specs=pl.BlockSpec((1, C, TILE_H, TILE_W),
+        out_specs=pl.BlockSpec((1, C, V2_TILE_H, TILE_W),
                                lambda b, t, u, *_: (b, 0, t, u),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -747,15 +765,15 @@ def _call_tiled_bwd(image, flags, x, y, ct, ywin, xwin, dot_dtype,
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         )
-    coords_spec = pl.BlockSpec((1, TILE_H, TILE_W), lambda b, t, u, *_: (b, t, u),
+    coords_spec = pl.BlockSpec((1, V2_TILE_H, TILE_W), lambda b, t, u, *_: (b, t, u),
                                memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, H // TILE_H, W // TILE_W),
+        grid=(B, H // V2_TILE_H, W // TILE_W),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             coords_spec, coords_spec,
-            pl.BlockSpec((1, C, TILE_H, TILE_W),
+            pl.BlockSpec((1, C, V2_TILE_H, TILE_W),
                          lambda b, t, u, *_: (b, 0, t, u),
                          memory_space=pltpu.VMEM),
         ],
@@ -949,15 +967,15 @@ def _ceil_to(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-def _pad_align(image, x, y):
-    """Zero-pad (image, x, y) to TPU-aligned [B, H8, W128] shapes.
+def _pad_align(image, x, y, hmult=TILE_H):
+    """Zero-pad (image, x, y) to TPU-aligned [B, H·hmult, W128] shapes.
 
     x pads with -2.0 (fully outside: both corners miss every iota column,
     so padded outputs are exact zeros).  y pads EDGE-replicated so padded
     pixels' rows track their tile's real rows and cannot skew the dynamic
     window placement."""
     B, H, W, C = image.shape
-    Hp, Wp = _ceil_to(H, TILE_H), _ceil_to(W, 128)
+    Hp, Wp = _ceil_to(H, hmult), _ceil_to(W, 128)
     if (Hp, Wp) == (H, W):
         return image, x, y
     image = jnp.pad(image, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
@@ -1031,13 +1049,13 @@ def warp_banded(image, x, y, window=128, dot_dtype=jnp.float32,
     TPU.WARP_XWIN=0).
     """
     B, H, W, _ = image.shape
-    imgp, xp, yp = _pad_align(image, x, y)
+    use_v2 = xwin >= 256 and ywin >= 16 and W >= V2_MIN_W
+    imgp, xp, yp = _pad_align(image, x, y,
+                              hmult=V2_TILE_H if use_v2 else TILE_H)
     Hp, Wp = imgp.shape[1], imgp.shape[2]
     wide = never_violating_window(Hp)
     window = min(window, wide)
     Hpad = max(_pad_geometry(Hp), window // 2)
-
-    use_v2 = xwin >= 256 and ywin >= 16 and W >= V2_MIN_W
     if use_v2:
         # tile-granular: v2 column-tiled kernel + per-tile whole-plane patch,
         # no whole-call predicate / branch at all
