@@ -3,8 +3,13 @@
 
 Measures steady-state images/sec/chip for the full self-supervised train step
 (DepthResNet-18 + PoseNet + 4-scale min-reprojection photometric loss +
-Adam update) at the reference training shape 192×640, batch 16, bf16 compute
-(reference config projects/MonoDepth2/configs/resnet18.yaml).
+Adam update) at the reference training shape 192×640, per-chip batch 48,
+bf16 compute (reference config projects/MonoDepth2/configs/resnet18.yaml
+trains 192×640; the per-chip batch is our measured sweet spot).
+
+The JSON line carries the MEDIAN of k independent chunk timings plus the
+per-run values and spread, so round-over-round deltas are arbitrable
+against the tunnel's ±5% run variance (docs/PERF.md).
 
 Baseline normalization: the reference trains on 2 GPUs (README.md:50) with no
 published throughput; BASELINE.json's target is ≥3× the 2-GPU total on
@@ -72,21 +77,25 @@ def main():
     # Sync every few steps: on the tunneled axon backend, a single
     # end-of-loop block_until_ready under-reports wildly (async artifact);
     # per-chunk device_get keeps the measurement honest while amortizing the
-    # tunnel round trip.
-    n_chunks, chunk = (5, 5) if on_tpu else (1, 5)
-    start = time.perf_counter()
+    # tunnel round trip.  Each chunk is timed INDEPENDENTLY (k>=5 runs) and
+    # the headline is the MEDIAN with min/max/σ in the JSON — single-number
+    # round-over-round deltas on this tunnel sit inside ±5% run variance
+    # (docs/PERF.md), so the spread must travel with the value.
+    n_chunks, chunk = (7, 5) if on_tpu else (2, 5)
+    runs = []
+    step_i = 100
     for c in range(n_chunks):
-        for i in range(chunk):
-            state, metrics = train_step(
-                state, batch, jax.random.fold_in(key, 100 + c * chunk + i)
-            )
+        t0 = time.perf_counter()
+        for _ in range(chunk):
+            state, metrics = train_step(state, batch, jax.random.fold_in(key, step_i))
+            step_i += 1
         total = float(jax.device_get(metrics["total_loss"]))
+        dt = time.perf_counter() - t0
         assert np.isfinite(total), f"non-finite loss in bench: {total}"
-    elapsed = time.perf_counter() - start
-    n_steps = n_chunks * chunk
+        runs.append(chunk * B / dt / n_dev)
 
-    images_per_sec = n_steps * B / elapsed
-    per_chip = images_per_sec / n_dev
+    runs = sorted(round(r, 2) for r in runs)
+    per_chip = float(np.median(runs))
     target_per_chip = 11.25  # 3 × assumed 30 img/s 2-GPU baseline / 8 chips
 
     print(
@@ -96,6 +105,13 @@ def main():
                 "value": round(per_chip, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(per_chip / target_per_chip, 3),
+                "runs": runs,
+                "spread": {
+                    "n": len(runs),
+                    "min": runs[0],
+                    "max": runs[-1],
+                    "std": round(float(np.std(runs)), 2),
+                },
                 "baseline": "assumed 30 img/s 2-GPU reference total; "
                 "target = 3x30/8 = 11.25 img/s/chip (no published "
                 "reference throughput exists)",

@@ -75,12 +75,14 @@ import jax.numpy as jnp
 
 TILE_H = 8
 TILE_W = 128  # v2 output-column tile (one lane group)
-# v2/tiled-path output tile height (multiple of 8: row starts stay 8·idx
-# aligned).  16 doubles the per-dot output width [.., 2048] and halves the
-# per-tile fixed overhead (DMA issue, minmax, window logic) at the cost of
-# a tighter y-spread budget per tile (the tile spans 8 more rows).
-# Module-level so microbench sweeps can set it before tracing; v1 row
-# kernels stay at TILE_H.
+# Default v2/tiled-path output tile height (multiple of 8: row starts stay
+# 8·idx aligned).  16 doubles the per-dot output width [.., 2048] and halves
+# the per-tile fixed overhead (DMA issue, minmax, window logic) at the cost
+# of a tighter y-spread budget per tile (the tile spans 8 more rows).  The
+# actual height is threaded through ``warp_banded(tile_h=...)`` — this
+# constant is only the default, never mutated (a mutable global would bake
+# stale values into already-traced functions).  v1 row kernels stay at
+# TILE_H.
 V2_TILE_H = 8
 # Below this image width the v2 column windows can't undercut the v1
 # whole-row matmul (xwin 512 vs W plus per-tile overhead): measured at the
@@ -195,11 +197,11 @@ def _col_half_starts(xmin, xmax, W, xw2):
     return i1, i2
 
 
-def _tile_violations_v2(x, y, H, W, Hpad, ywin, xwin):
+def _tile_violations_v2(x, y, H, W, Hpad, ywin, xwin, tile_h=V2_TILE_H):
     """jnp-side PER-TILE flags for the column-tiled kernel: tile (b, th, tw)
     is flagged when some corner with BOTH coordinates in-image has its row
     outside both y half-windows or its column outside both x half-windows.
-    Returns [B, H/8, W/128] bool.
+    Returns [B, H/tile_h, W/128] bool (tile_h defaults to V2_TILE_H).
 
     Formula-identical to the v2 kernels' window placement
     (:func:`_half_starts` / :func:`_col_half_starts`).  Flagged tiles are
@@ -210,9 +212,9 @@ def _tile_violations_v2(x, y, H, W, Hpad, ywin, xwin):
     of the flagship bench ran the wide kernel)."""
     B, Hy, Wx = x.shape
     wy2, xw2 = ywin // 2, xwin // 2
-    nh, nw = Hy // V2_TILE_H, Wx // TILE_W
-    x0 = jnp.floor(x).reshape(B, nh, V2_TILE_H, nw, TILE_W)
-    y0 = jnp.floor(y).reshape(B, nh, V2_TILE_H, nw, TILE_W)
+    nh, nw = Hy // tile_h, Wx // TILE_W
+    x0 = jnp.floor(x).reshape(B, nh, tile_h, nw, TILE_W)
+    y0 = jnp.floor(y).reshape(B, nh, tile_h, nw, TILE_W)
 
     ymin = jnp.min(jnp.clip(y0, 0.0, float(H - 1)), axis=(2, 4)).astype(jnp.int32)
     ymax = jnp.max(jnp.clip(y0 + 1.0, 0.0, float(H - 1)), axis=(2, 4)).astype(jnp.int32)
@@ -235,7 +237,7 @@ def _tile_violations_v2(x, y, H, W, Hpad, ywin, xwin):
         return ~(((c >= s1x) & (c < s1x + xw2)) | ((c >= s2x) & (c < s2x + xw2)))
 
     bad_y = [((cy >= 0) & (cy <= H - 1), y_unmapped(cy)) for cy in (y0, y0 + 1.0)]
-    viol = jnp.zeros((B, nh, V2_TILE_H, nw, TILE_W), bool)
+    viol = jnp.zeros((B, nh, tile_h, nw, TILE_W), bool)
     for cx in (x0, x0 + 1.0):
         in_x = (cx >= 0) & (cx <= W - 1)
         ux = x_unmapped(cx)
@@ -443,8 +445,10 @@ def _quad_band_dma(img_hbm, x_ref, y_ref, band, sems, b, H, W, Hpad, wy2, xw2):
 
 
 def _tile_terms_v2(x_ref, y_ref, s1y, s2y, s1x, s2x, wy2, xw2):
-    """Flattened [V2_TILE_H·TILE_W] per-pixel index math for one v2 tile."""
-    N = V2_TILE_H * TILE_W
+    """Flattened [tile_h·TILE_W] per-pixel index math for one v2 tile (the
+    tile height is read off the coord block shape, so the kernels follow
+    whatever ``tile_h`` the wrapper threaded through)."""
+    N = x_ref.shape[1] * x_ref.shape[2]
     xr = x_ref[0].reshape(N)
     yr = y_ref[0].reshape(N)
     x0f = jnp.floor(xr)
@@ -461,14 +465,17 @@ def _tile_terms_v2(x_ref, y_ref, s1y, s2y, s1x, s2x, wy2, xw2):
 
 
 def _v2_tile_fwd(band, x_ref, y_ref, out_ref, s1y, s2y, s1x, s2x, wy2, xw2,
-                 C, dot_dtype, copies=()):
-    """One 8×128 output tile from a loaded [C, 2·wy2, 2·xw2] band: the
+                 C, dot_dtype, copies):
+    """One tile_h×128 output tile from a loaded [C, 2·wy2, 2·xw2] band: the
     single MXU dot + indicator-weighted y reduction.  ``copies`` are the
-    in-flight band DMAs: the VPU indicator build needs only the coords, so
-    it runs under the transfer; the wait lands just before the band read."""
+    in-flight band DMAs (required — a call site that forgot them would read
+    the band scratch before the transfer lands): the VPU indicator build
+    needs only the coords, so it runs under the transfer; the wait lands
+    just before the band read."""
     m0, m1, t0, t1, wx, wy = _tile_terms_v2(x_ref, y_ref, s1y, s2y, s1x, s2x,
                                             wy2, xw2)
-    N = V2_TILE_H * TILE_W
+    th = x_ref.shape[1]
+    N = th * TILE_W
     iox = jax.lax.broadcasted_iota(jnp.int32, (2 * xw2, N), 0)
     X = (
         (iox == m0[None]).astype(dot_dtype) * (1.0 - wx).astype(dot_dtype)[None]
@@ -488,17 +495,19 @@ def _v2_tile_fwd(band, x_ref, y_ref, out_ref, s1y, s2y, s1x, s2x, wy2, xw2,
         + (ior == t1[None]).astype(jnp.float32) * wy[None]
     )
     out = jnp.sum(G.reshape(C, 2 * wy2, N) * Y[None], axis=1)  # [C, N]
-    out_ref[0] = out.reshape(C, V2_TILE_H, TILE_W)
+    out_ref[0] = out.reshape(C, th, TILE_W)
 
 
 def _v2_tile_bwd(band, x_ref, y_ref, ct_ref, dx_ref, dy_ref,
-                 s1y, s2y, s1x, s2x, wy2, xw2, C, dot_dtype, copies=()):
+                 s1y, s2y, s1x, s2x, wy2, xw2, C, dot_dtype, copies):
     """Coordinate cotangents for one tile: stacked ``band @ [X | Xd]``
     (see the v1 ``_bwd_kernel`` derivation) + two weighted reductions.
-    ``copies``: in-flight band DMAs, waited at the band read (as in fwd)."""
+    ``copies``: in-flight band DMAs, waited at the band read (as in fwd;
+    required for the same reason)."""
     m0, m1, t0, t1, wx, wy = _tile_terms_v2(x_ref, y_ref, s1y, s2y, s1x, s2x,
                                             wy2, xw2)
-    N = V2_TILE_H * TILE_W
+    th = x_ref.shape[1]
+    N = th * TILE_W
     ct = ct_ref[0].reshape(C, N).astype(jnp.float32)
     iox = jax.lax.broadcasted_iota(jnp.int32, (2 * xw2, N), 0)
     hi = (iox == m1[None]).astype(dot_dtype)
@@ -520,8 +529,8 @@ def _v2_tile_bwd(band, x_ref, y_ref, ct_ref, dx_ref, dy_ref,
     Y = rlo * (1.0 - wy)[None] + rhi * wy[None]
     dx = jnp.sum(jnp.sum(G2c * Y[None], axis=1) * ct, axis=0)
     dy = jnp.sum(jnp.sum(Gc * (rhi - rlo)[None], axis=1) * ct, axis=0)
-    dx_ref[0] = dx.reshape(V2_TILE_H, TILE_W)
-    dy_ref[0] = dy.reshape(V2_TILE_H, TILE_W)
+    dx_ref[0] = dx.reshape(th, TILE_W)
+    dy_ref[0] = dy.reshape(th, TILE_W)
 
 
 def _fwd_kernel_v2(
@@ -565,7 +574,8 @@ def _bwd_kernel_v2(
                  s1y, s2y, s1x, s2x, wy2, xw2, C, dot_dtype, copies)
 
 
-def _call_fwd_v2(image, x, y, ywin, xwin, dot_dtype, interpret=False):
+def _call_fwd_v2(image, x, y, ywin, xwin, dot_dtype, interpret=False,
+                 tile_h=V2_TILE_H):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -580,13 +590,13 @@ def _call_fwd_v2(image, x, y, ywin, xwin, dot_dtype, interpret=False):
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         )
-    coords_spec = pl.BlockSpec((1, V2_TILE_H, TILE_W), lambda b, t, u: (b, t, u),
+    coords_spec = pl.BlockSpec((1, tile_h, TILE_W), lambda b, t, u: (b, t, u),
                                memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(B, H // V2_TILE_H, W // TILE_W),
+        grid=(B, H // tile_h, W // TILE_W),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY), coords_spec, coords_spec],
-        out_specs=pl.BlockSpec((1, C, V2_TILE_H, TILE_W), lambda b, t, u: (b, 0, t, u),
+        out_specs=pl.BlockSpec((1, C, tile_h, TILE_W), lambda b, t, u: (b, 0, t, u),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, C, H, W), jnp.float32),
         scratch_shapes=[pltpu.VMEM((C, ywin, xwin), image.dtype)]
@@ -597,7 +607,8 @@ def _call_fwd_v2(image, x, y, ywin, xwin, dot_dtype, interpret=False):
     return out.transpose(0, 2, 3, 1)
 
 
-def _call_bwd_coords_v2(image, x, y, ct, ywin, xwin, dot_dtype, interpret=False):
+def _call_bwd_coords_v2(image, x, y, ct, ywin, xwin, dot_dtype, interpret=False,
+                        tile_h=V2_TILE_H):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -613,16 +624,16 @@ def _call_bwd_coords_v2(image, x, y, ct, ywin, xwin, dot_dtype, interpret=False)
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         )
-    coords_spec = pl.BlockSpec((1, V2_TILE_H, TILE_W), lambda b, t, u: (b, t, u),
+    coords_spec = pl.BlockSpec((1, tile_h, TILE_W), lambda b, t, u: (b, t, u),
                                memory_space=pltpu.VMEM)
     dx, dy = pl.pallas_call(
         kernel,
-        grid=(B, H // V2_TILE_H, W // TILE_W),
+        grid=(B, H // tile_h, W // TILE_W),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             coords_spec,
             coords_spec,
-            pl.BlockSpec((1, C, V2_TILE_H, TILE_W), lambda b, t, u: (b, 0, t, u),
+            pl.BlockSpec((1, C, tile_h, TILE_W), lambda b, t, u: (b, 0, t, u),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[coords_spec, coords_spec],
@@ -642,8 +653,10 @@ def _tiled_fwd_kernel(
     flags_ref, img_hbm, x_ref, y_ref, out_ref, band_n, band_w, *sems,
     C, H, W, Hpad, ywin, xwin, wy2w, xw2w, dot_dtype,
 ):
-    """Unified tile-granular forward: grid (B, H/8, W/128), one 8x128 tile
-    per step.  Unflagged tiles take the NARROW branch (dynamic two-half
+    """Unified tile-granular forward: grid (B, H/tile_h, W/128), one
+    tile_h×128 tile per step (tile_h from the coord block shape, threaded
+    from ``warp_banded(tile_h=...)``, default V2_TILE_H).  Unflagged tiles
+    take the NARROW branch (dynamic two-half
     windows per dim, the cheap dot); flagged tiles take the WHOLE-PLANE
     branch (static window pair per dim: y halves (0, Hpad-wy2w), x halves
     (0, W-xw2w) with 2*wy2w >= Hpad and 2*xw2w >= W, so every corner maps).
@@ -706,7 +719,8 @@ def _tiled_bwd_kernel(
                      s1y, s2y, s1x, s2x, wy2w, xw2w, C, dot_dtype, copies)
 
 
-def _call_tiled_fwd(image, flags, x, y, ywin, xwin, dot_dtype, interpret=False):
+def _call_tiled_fwd(image, flags, x, y, ywin, xwin, dot_dtype, interpret=False,
+                    tile_h=V2_TILE_H):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -722,13 +736,13 @@ def _call_tiled_fwd(image, flags, x, y, ywin, xwin, dot_dtype, interpret=False):
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         )
-    coords_spec = pl.BlockSpec((1, V2_TILE_H, TILE_W), lambda b, t, u, *_: (b, t, u),
+    coords_spec = pl.BlockSpec((1, tile_h, TILE_W), lambda b, t, u, *_: (b, t, u),
                                memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, H // V2_TILE_H, W // TILE_W),
+        grid=(B, H // tile_h, W // TILE_W),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY), coords_spec, coords_spec],
-        out_specs=pl.BlockSpec((1, C, V2_TILE_H, TILE_W),
+        out_specs=pl.BlockSpec((1, C, tile_h, TILE_W),
                                lambda b, t, u, *_: (b, 0, t, u),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -748,7 +762,7 @@ def _call_tiled_fwd(image, flags, x, y, ywin, xwin, dot_dtype, interpret=False):
 
 
 def _call_tiled_bwd(image, flags, x, y, ct, ywin, xwin, dot_dtype,
-                    interpret=False):
+                    interpret=False, tile_h=V2_TILE_H):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -765,15 +779,15 @@ def _call_tiled_bwd(image, flags, x, y, ct, ywin, xwin, dot_dtype,
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         )
-    coords_spec = pl.BlockSpec((1, V2_TILE_H, TILE_W), lambda b, t, u, *_: (b, t, u),
+    coords_spec = pl.BlockSpec((1, tile_h, TILE_W), lambda b, t, u, *_: (b, t, u),
                                memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, H // V2_TILE_H, W // TILE_W),
+        grid=(B, H // tile_h, W // TILE_W),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             coords_spec, coords_spec,
-            pl.BlockSpec((1, C, V2_TILE_H, TILE_W),
+            pl.BlockSpec((1, C, tile_h, TILE_W),
                          lambda b, t, u, *_: (b, 0, t, u),
                          memory_space=pltpu.VMEM),
         ],
@@ -797,31 +811,34 @@ def _call_tiled_bwd(image, flags, x, y, ct, ywin, xwin, dot_dtype,
     return dx, dy
 
 
-def _tiled_flags(image, x, y, ywin, xwin):
+def _tiled_flags(image, x, y, ywin, xwin, tile_h=V2_TILE_H):
     H, W = image.shape[1], image.shape[2]
     Hpad = max(_pad_geometry(H), ywin // 2)
-    return _tile_violations_v2(x, y, H, W, Hpad, ywin, xwin).astype(jnp.int32)
+    return _tile_violations_v2(x, y, H, W, Hpad, ywin, xwin,
+                               tile_h=tile_h).astype(jnp.int32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _warp_tiled_prim(image, x, y, ywin, xwin, dot_dtype, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _warp_tiled_prim(image, x, y, ywin, xwin, dot_dtype, interpret, tile_h):
     """Tile-granular warp: narrow windows everywhere, whole-plane windows on
     the per-tile-flagged spread violators, in ONE kernel."""
-    flags = _tiled_flags(image, x, y, ywin, xwin)
-    return _call_tiled_fwd(image, flags, x, y, ywin, xwin, dot_dtype, interpret)
+    flags = _tiled_flags(image, x, y, ywin, xwin, tile_h)
+    return _call_tiled_fwd(image, flags, x, y, ywin, xwin, dot_dtype,
+                           interpret, tile_h)
 
 
-def _warp_tiled_prim_fwd(image, x, y, ywin, xwin, dot_dtype, interpret):
-    flags = _tiled_flags(image, x, y, ywin, xwin)
-    out = _call_tiled_fwd(image, flags, x, y, ywin, xwin, dot_dtype, interpret)
+def _warp_tiled_prim_fwd(image, x, y, ywin, xwin, dot_dtype, interpret, tile_h):
+    flags = _tiled_flags(image, x, y, ywin, xwin, tile_h)
+    out = _call_tiled_fwd(image, flags, x, y, ywin, xwin, dot_dtype,
+                          interpret, tile_h)
     return out, (image, x, y, flags)
 
 
-def _warp_tiled_prim_bwd(ywin, xwin, dot_dtype, interpret, res, ct_out):
+def _warp_tiled_prim_bwd(ywin, xwin, dot_dtype, interpret, tile_h, res, ct_out):
     image, x, y, flags = res
     ct_out = jnp.asarray(ct_out, jnp.float32)
     dx, dy = _call_tiled_bwd(image, flags, x, y, ct_out, ywin, xwin,
-                             dot_dtype, interpret)
+                             dot_dtype, interpret, tile_h)
     # image cotangent: jnp gather-transpose, DCE'd when unused (see v1)
     from .resample import _resample_bilinear_4gather
 
@@ -1031,7 +1048,7 @@ _warp_banded_prim.defvjp(_warp_banded_prim_fwd, _warp_banded_prim_bwd)
 
 
 def warp_banded(image, x, y, window=128, dot_dtype=jnp.float32,
-                interpret=False, xwin=512, ywin=96):
+                interpret=False, xwin=512, ywin=96, tile_h=V2_TILE_H):
     """Gather-free banded bilinear warp, always exact.
 
     Drop-in for ``ops.resample.resample_bilinear`` on same-resolution warps
@@ -1047,11 +1064,17 @@ def warp_banded(image, x, y, window=128, dot_dtype=jnp.float32,
     ``xwin < 256`` / ``ywin < 16`` selects the legacy v1 row-banded kernel
     with its whole-call wide fallback (kept for ablation via
     TPU.WARP_XWIN=0).
+
+    ``tile_h`` is the v2 output tile height (multiple of 8; see V2_TILE_H) —
+    an explicit parameter so sweeps re-trace cleanly instead of mutating a
+    module global.
     """
+    if tile_h % 8 != 0 or tile_h < 8:
+        raise ValueError(f"tile_h must be a positive multiple of 8, got {tile_h}")
     B, H, W, _ = image.shape
     use_v2 = xwin >= 256 and ywin >= 16 and W >= V2_MIN_W
     imgp, xp, yp = _pad_align(image, x, y,
-                              hmult=V2_TILE_H if use_v2 else TILE_H)
+                              hmult=tile_h if use_v2 else TILE_H)
     Hp, Wp = imgp.shape[1], imgp.shape[2]
     wide = never_violating_window(Hp)
     window = min(window, wide)
@@ -1061,7 +1084,8 @@ def warp_banded(image, x, y, window=128, dot_dtype=jnp.float32,
         # no whole-call predicate / branch at all
         ywin = min(ywin, wide)
         xwin = min(xwin, 2 * Wp)
-        out = _warp_tiled_prim(imgp, xp, yp, ywin, xwin, dot_dtype, interpret)
+        out = _warp_tiled_prim(imgp, xp, yp, ywin, xwin, dot_dtype, interpret,
+                               tile_h)
         return out[:, :H, :W].astype(image.dtype)
 
     def _fast(imp, xxp, yyp):

@@ -146,6 +146,37 @@ def test_tiled_image_gradients(img, rng):
     np.testing.assert_allclose(np.asarray(gt), np.asarray(go), atol=1e-4)
 
 
+@pytest.mark.parametrize("case", ["coherent", "bidirectional-large"])
+def test_tiled_tile_h16(case, img, rng):
+    """tile_h=16 (the sweepable v2 tile height, threaded as a parameter):
+    forward and coordinate gradients stay oracle-exact — 16-row tiles halve
+    the per-tile overhead but tighten the y-spread budget, so both a
+    no-flag and a heavy-flag regime are pinned."""
+    xs, ys = _grid()
+    x, y = CASES[case](rng, xs, ys)
+    c = jnp.stack([jnp.asarray(np.asarray(x, np.float32)),
+                   jnp.asarray(np.asarray(y, np.float32))])
+
+    out = pw.warp_banded(img, c[0], c[1], dot_dtype=jnp.float32,
+                         interpret=True, xwin=XWIN, ywin=YWIN, tile_h=16)
+    ref = _resample_bilinear_4gather(img, c[0], c[1])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-6)
+
+    def loss_t(c):
+        o = pw.warp_banded(img, c[0], c[1], dot_dtype=jnp.float32,
+                           interpret=True, xwin=XWIN, ywin=YWIN, tile_h=16)
+        return jnp.sum(o ** 2)
+
+    def loss_o(c):
+        return jnp.sum(_resample_bilinear_4gather(img, c[0], c[1]) ** 2)
+
+    gt = jax.grad(loss_t)(c)
+    go = jax.grad(loss_o)(c)
+    scale = max(1.0, float(jnp.abs(go).max()))
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(go),
+                               atol=1e-5 * scale)
+
+
 def test_small_width_routes_v1(rng):
     """Below V2_MIN_W the router keeps the v1 row-banded path (measured
     faster at 320-wide planes) and stays exact."""

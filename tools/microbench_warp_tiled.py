@@ -79,23 +79,24 @@ def run():
         x, y = jnp.asarray(x_np), jnp.asarray(y_np)
         ct = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
         for th in args.tile_h:
-            pw.V2_TILE_H = th
             flags = np.asarray(
                 jax.jit(
-                    lambda xx, yy: pw._tile_violations_v2(
-                        xx, yy, H, W, max(pw._pad_geometry(H), 48), 96, 512
+                    lambda xx, yy, th=th: pw._tile_violations_v2(
+                        xx, yy, H, W, max(pw._pad_geometry(H), 48), 96, 512,
+                        tile_h=th,
                     )
                 )(x, y)
             )
 
-            def loss(xx, yy):
+            def loss(xx, yy, th=th):
                 out = pw.warp_banded(img, xx, yy, dot_dtype=jnp.bfloat16,
-                                     xwin=512, ywin=96)
+                                     xwin=512, ywin=96, tile_h=th)
                 return jnp.vdot(ct, out.astype(jnp.float32))
 
             g = jax.jit(jax.grad(loss, (0, 1)))
-            f = jax.jit(lambda xx, yy: pw.warp_banded(
-                img, xx, yy, dot_dtype=jnp.bfloat16, xwin=512, ywin=96))
+            f = jax.jit(lambda xx, yy, th=th: pw.warp_banded(
+                img, xx, yy, dot_dtype=jnp.bfloat16, xwin=512, ywin=96,
+                tile_h=th))
             jax.block_until_ready(f(x, y))
             jax.block_until_ready(g(x, y))
             t0 = time.perf_counter()
