@@ -25,14 +25,18 @@ def make_schedule_fn(cfg):
     burn_in = int(cfg.MODEL.POSE_NET.get("BURN_IN_ITERS", 0))
 
     def extra(step: int):
+        # the reference increments global_step BEFORE computing the step's
+        # schedules (projects/MotionLearning/train.py:97-114), so optimizer
+        # step i (0-based completed steps) trains under global_step = i+1
+        global_step = step + 1
         out = {}
         stddev = 0.0
         if rampup > 0:
-            stddev = noise_stddev * min(step / float(rampup), 1.0) ** 2
+            stddev = noise_stddev * min(global_step / float(rampup), 1.0) ** 2
         out["noise_stddev"] = np.float32(stddev)
         weight = 1.0
         if burn_in > 0:
-            weight = float(np.clip(2.0 * step / burn_in - 1.0, 0.0, 1.0))
+            weight = float(np.clip(2.0 * global_step / burn_in - 1.0, 0.0, 1.0))
         out["motion_weight"] = np.float32(weight)
         return out
 

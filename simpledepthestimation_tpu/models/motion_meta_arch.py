@@ -144,20 +144,29 @@ class MotionLearningModel(nn.Module):
             self.depth_net, "norm"
         )
 
-        def run_depth(images):
+        def run_depth(images, flip=None):
             kwargs = {"train": train}
             if takes_noise:
                 kwargs["noise_stddev"] = noise_stddev
+            if flip is not None:
+                # the reference's depth net flips its input and unflips its
+                # output under the batch flip flag (GoogleResNet.py:160-171);
+                # boundary-padding asymmetry makes the net only APPROXIMATELY
+                # flip-equivariant, so skipping this diverges ~3e-3 in the
+                # losses (found by the ML trajectory-parity test)
+                kwargs["flip"] = flip
             return self.depth_net(images, **kwargs)
 
         if not train:
             net_input = normalize_image(batch["img"], self.pixel_mean, self.pixel_std)
-            return {"depth_pred": run_depth(net_input)[0]}
+            return {"depth_pred": run_depth(net_input, batch.get("flip"))[0]}
 
         frame1 = batch["img"]
         frame2 = batch["ctx_img"][:, 0]
         B = frame1.shape[0]
 
+        flip = batch.get("flip")
+        flip2 = jnp.concatenate([flip, flip], 0) if flip is not None else None
         both = jnp.concatenate(
             [
                 normalize_image(frame1, self.pixel_mean, self.pixel_std),
@@ -165,7 +174,7 @@ class MotionLearningModel(nn.Module):
             ],
             axis=0,
         )
-        depth_pred = run_depth(both)  # list of [2B,h,w,1]
+        depth_pred = run_depth(both, flip2)  # list of [2B,h,w,1]
         depth1 = depth_pred[0][:B]
         depth2 = depth_pred[0][B:]
 

@@ -30,10 +30,11 @@ position, reproducing ``padding_mode='zeros'`` exactly with no clamping.
 (``_tiled_fwd_kernel``/``_tiled_bwd_kernel``, W ≥ V2_MIN_W): xprof showed
 the v1 kernel MXU-FLOP-bound with the x-interp matmul running over the
 FULL row ([C·window, W] @ [W, W] per output row) — yet x-displacement is
-just as coherent as y.  v2 bands BOTH dims: grid (B, H/8, W/128), two
-128-aligned x half-windows (``xwin``) and two 8-aligned y half-windows
-(``ywin``) per tile, and ALL 8 rows of a tile in ONE dot
-``[C·ywin, xwin] @ [xwin, 8·128]``.  Tiles whose corner spread exceeds the
+just as coherent as y.  v2 bands BOTH dims: grid (B, H/tile_h, W/128)
+(tile_h threaded from ``warp_banded(tile_h=...)``, default ``V2_TILE_H``),
+two 128-aligned x half-windows (``xwin``) and two 8-aligned y half-windows
+(``ywin``) per tile, and ALL tile_h rows of a tile in ONE dot
+``[C·ywin, xwin] @ [xwin, tile_h·128]``.  Tiles whose corner spread exceeds the
 windows are flagged by the jnp-side per-tile predicate
 (:func:`_tile_violations_v2`) and take an in-kernel ``pl.when`` branch
 with a whole-plane window pair instead (never violable) — the fallback is
@@ -537,14 +538,14 @@ def _fwd_kernel_v2(
     img_hbm, x_ref, y_ref, out_ref, band, *sems,
     C, H, W, Hpad, ywin, xwin, dot_dtype,
 ):
-    """Grid (B, H/8, W/128): one 8×128 output tile per step, ALL its rows
-    in ONE MXU dot.
+    """Grid (B, H/tile_h, W/128): one tile_h×128 output tile per step (tile_h
+    from the coord block shape), ALL its rows in ONE MXU dot.
 
     The v1 kernel's x-interp matmul runs over the full row (``[C·window, W]
     @ [W, W]`` per output row) — x-displacement is just as coherent as y,
     so v2 banding BOTH dims shrinks the dot to ``[C·ywin, xwin] @
-    [xwin, 8·128]`` per tile: ~5× fewer FLOPs at the production shape for a
-    kernel measured MXU-FLOP-bound (docs/PERF.md round 3)."""
+    [xwin, tile_h·128]`` per tile: ~5× fewer FLOPs at the production shape
+    for a kernel measured MXU-FLOP-bound (docs/PERF.md round 3)."""
     from jax.experimental import pallas as pl
 
     b = pl.program_id(0)
