@@ -119,6 +119,10 @@ _C.TPU.WARP_WINDOW = 128
 # 0 disables v2.
 _C.TPU.WARP_XWIN = 512
 _C.TPU.WARP_YWIN = 96
+# v2 column-tiled kernel output tile height (multiple of 8). 16 halves the
+# per-call grid and doubles the per-dot output width at identical FLOPs;
+# taller tiles spend more y-spread budget (more per-tile fallbacks early).
+_C.TPU.WARP_TILE_H = 8
 # PackNet packed-3D-conv backend: "auto" (blocked on TPU, ndhwc elsewhere),
 # "ndhwc" (literal 1-input-channel 3D conv), or "blocked" (depth band
 # embedded in a dense 2D conv over channel blocks of CONV3D_BLOCK —

@@ -45,6 +45,7 @@ def build_model(cfg):
             window=int(cfg.TPU.get("WARP_WINDOW", 128)),
             xwin=int(cfg.TPU.get("WARP_XWIN", 512)),
             ywin=int(cfg.TPU.get("WARP_YWIN", 96)),
+            tile_h=int(cfg.TPU.get("WARP_TILE_H", 8)),
         )
     from .packnet import set_conv3d_impl
 

@@ -61,12 +61,14 @@ _WARP_WINDOW = 128
 # v2 column-tiled kernel windows (cfg TPU.WARP_XWIN / WARP_YWIN; 0 = v2 off).
 _WARP_XWIN = 512
 _WARP_YWIN = 96
+# v2/tiled output tile height (cfg TPU.WARP_TILE_H; multiple of 8).
+_WARP_TILE_H = 8
 
 
 def set_warp_impl(impl: str, window: int = None, xwin: int = None,
-                  ywin: int = None) -> None:
+                  ywin: int = None, tile_h: int = None) -> None:
     """Select the warp backend (module-level, read at trace time)."""
-    global _WARP_IMPL, _WARP_WINDOW, _WARP_XWIN, _WARP_YWIN
+    global _WARP_IMPL, _WARP_WINDOW, _WARP_XWIN, _WARP_YWIN, _WARP_TILE_H
     if impl not in _WARP_IMPLS:
         raise ValueError(f"warp impl {impl!r} not in {_WARP_IMPLS}")
     _WARP_IMPL = impl
@@ -76,6 +78,8 @@ def set_warp_impl(impl: str, window: int = None, xwin: int = None,
         _WARP_XWIN = int(xwin)
     if ywin is not None:
         _WARP_YWIN = int(ywin)
+    if tile_h is not None:
+        _WARP_TILE_H = int(tile_h)
 
 
 def _gather_corner(
@@ -158,7 +162,7 @@ def resample_bilinear(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp
             dd = jnp.float32 if _WARP_IMPL == "banded_f32" else jnp.bfloat16
             return pallas_warp.warp_banded(
                 image, x, y, window=_WARP_WINDOW, dot_dtype=dd,
-                xwin=_WARP_XWIN, ywin=_WARP_YWIN,
+                xwin=_WARP_XWIN, ywin=_WARP_YWIN, tile_h=_WARP_TILE_H,
             )
     return _resample_gather_auto(image, x, y)
 

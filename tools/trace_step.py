@@ -101,11 +101,31 @@ def main():
             pass
         data = data.decode("utf-8", "replace")
     try:
-        obj = json.loads(data)
+        obj = json.loads(data, strict=False)
     except Exception:
         obj = None
     if obj is not None:
-        print(json.dumps(obj)[:4000])
+        # compact per-op table: self time (ms, per traced step), category,
+        # op name, first repo source line
+        import re
+
+        cols = [c["id"] for c in obj["cols"]]
+        idx = {c: i for i, c in enumerate(cols)}
+        out = []
+        for r in obj["rows"]:
+            v = [c.get("v") for c in r["c"]]
+            t_ms = float(v[idx["total_self_time"]] or 0) / 1e3 / 3.0
+            src = v[idx["source_info"]] or ""
+            m = re.search(r"simpledepthestimation_tpu/([\w/]+\.py:\d+)", src)
+            out.append((t_ms, v[idx["category"]] or "",
+                        (v[idx["hlo_op_name"]] or "")[:60],
+                        m.group(1) if m else ""))
+        out.sort(reverse=True)
+        print(f"{'ms/step':>9}  {'category':18} {'hlo op':60} source")
+        for t_ms, cat, name, src in out[: args.top]:
+            print(f"{t_ms:9.2f}  {cat:18} {name:60} {src}")
+        total = sum(t for t, *_ in out)
+        print(f"{total:9.2f}  TOTAL device self-time per step")
         return
     rows = list(csv.reader(io.StringIO(data)))
     hdr = rows[0]
