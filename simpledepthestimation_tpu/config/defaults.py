@@ -117,6 +117,15 @@ _C.TPU.WARP_WINDOW = 128
 # displacement straddles 0. Tiles beyond either spread budget fall back to
 # the v1 row-banded kernel (WARP_WINDOW), then its whole-plane variant.
 # 0 disables v2.
+#
+# YWIN is a measured tuning knob whose best value is COORDINATE-REGIME
+# DEPENDENT (round 4): under bench_models' synthetic trajectory, 48 beat
+# 96 by +8.5% (162.4 vs 149.7 — the dot M-dim halves); under bench.py's
+# trajectory the SAME change lost 9% (137.0 vs 151.3, one-process A/B) —
+# its evolving pose drives per-tile spreads past the narrower budget and
+# the flagged tiles pay whole-plane-window patches. 96 never flags in
+# either regime and is the safe default; drop to 48 for steady-state
+# fine-tuning runs (0% flags at trained-regime coords, pure FLOP win).
 _C.TPU.WARP_XWIN = 512
 _C.TPU.WARP_YWIN = 96
 # v2 column-tiled kernel output tile height (multiple of 8). 16 halves the

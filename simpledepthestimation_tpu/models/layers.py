@@ -42,6 +42,12 @@ class Conv3x3(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         mode = "reflect" if self.use_refl else "constant"
+        # cast to the conv's compute dtype BEFORE padding: nn.Conv casts its
+        # input anyway, so this is value-identical — but it halves the bytes
+        # of the pad AND of its transpose (the backward slice-adds measured
+        # f32 at ~2.4 ms × 12 decoder convs in the round-4 step trace,
+        # docs/PERF.md round-4 decomposition)
+        x = x.astype(self.dtype)
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=mode)
         return nn.Conv(
             self.out_channels, (3, 3), padding="VALID", dtype=self.dtype, name="conv"

@@ -84,16 +84,20 @@ def test_motionlearning_schedules():
     cfg.MODEL.POSE_NET.BURN_IN_ITERS = 200
     fn = make_schedule_fn(cfg)
 
+    # fn(i) is called with the 0-based count of COMPLETED steps; schedules
+    # follow the reference's pre-incremented global_step = i+1
+    # (projects/MotionLearning/train.py:97-114, verified end-to-end by
+    # tests/test_trajectory_parity.py::test_motionlearning_trajectory)
     s0 = fn(0)
-    assert s0["noise_stddev"] == 0.0
-    assert s0["motion_weight"] == 0.0  # clip(2·0/200−1)=−1→0
-    s50 = fn(50)
-    np.testing.assert_allclose(s50["noise_stddev"], 0.5 * 0.25, rtol=1e-6)  # (50/100)²·0.5
-    s100 = fn(100)
-    np.testing.assert_allclose(s100["noise_stddev"], 0.5, rtol=1e-6)
-    np.testing.assert_allclose(s100["motion_weight"], 0.0)  # 2·100/200−1 = 0
-    s200 = fn(200)
-    np.testing.assert_allclose(s200["motion_weight"], 1.0)
+    np.testing.assert_allclose(s0["noise_stddev"], 0.5 * 0.01**2, rtol=1e-6)
+    assert s0["motion_weight"] == 0.0  # clip(2·1/200−1)<0→0
+    s49 = fn(49)
+    np.testing.assert_allclose(s49["noise_stddev"], 0.5 * 0.25, rtol=1e-6)  # (50/100)²·0.5
+    s99 = fn(99)
+    np.testing.assert_allclose(s99["noise_stddev"], 0.5, rtol=1e-6)
+    np.testing.assert_allclose(s99["motion_weight"], 0.0)  # 2·100/200−1 = 0
+    s199 = fn(199)
+    np.testing.assert_allclose(s199["motion_weight"], 1.0)
     s1000 = fn(1000)
     np.testing.assert_allclose(s1000["noise_stddev"], 0.5)
     np.testing.assert_allclose(s1000["motion_weight"], 1.0)
