@@ -128,6 +128,21 @@ _C.TPU.WARP_WINDOW = 128
 # fine-tuning runs (0% flags at trained-regime coords, pure FLOP win).
 _C.TPU.WARP_XWIN = 512
 _C.TPU.WARP_YWIN = 96
+# Adaptive narrow y-window (round 5; 0 disables): the train step compiles a
+# second executable at this window and switches to it once the per-tile
+# flag predicate (computed every step on the live warp coords, read 2 steps
+# behind) reports 3 consecutive flag-free steps, retreating to WARP_YWIN on
+# the first flagged one. Captures the regime-dependent +8.5% (48 vs 96 at
+# the flagship shape, round-4 table) without the −9% cliff bench.py's
+# random-init trajectory measured for a static 48: early training runs
+# wide, the trained regime runs narrow.
+_C.TPU.WARP_YWIN_NARROW = 48
+# Backward-only y-window for the tiled warp's coordinate cotangents
+# (0 = same as WARP_YWIN). The bwd re-flags tiles at this window (exact:
+# violators take the whole-plane patch branch), so a narrower bwd window
+# trades its dominant dot FLOPs against more patched tiles — a probe knob
+# (docs/PERF.md round-5 warp-bwd-diet measurement).
+_C.TPU.WARP_YWIN_BWD = 0
 # v2 column-tiled kernel output tile height (multiple of 8). 16 halves the
 # per-call grid and doubles the per-dot output width at identical FLOPs;
 # taller tiles spend more y-spread budget (more per-tile fallbacks early).

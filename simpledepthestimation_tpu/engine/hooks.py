@@ -35,7 +35,6 @@ class CallbackHook(HookBase):
             self._before_train(self.trainer)
 
     def after_train(self):
-        self.trainer = None if self.trainer is None else self.trainer
         if self._after_train:
             self._after_train(self.trainer)
 

@@ -46,6 +46,8 @@ def build_model(cfg):
             xwin=int(cfg.TPU.get("WARP_XWIN", 512)),
             ywin=int(cfg.TPU.get("WARP_YWIN", 96)),
             tile_h=int(cfg.TPU.get("WARP_TILE_H", 8)),
+            ywin_narrow=int(cfg.TPU.get("WARP_YWIN_NARROW", 48)),
+            ywin_bwd=int(cfg.TPU.get("WARP_YWIN_BWD", 0)),
         )
     from .packnet import set_conv3d_impl
 

@@ -819,25 +819,54 @@ def _tiled_flags(image, x, y, ywin, xwin, tile_h=V2_TILE_H):
                                tile_h=tile_h).astype(jnp.int32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _warp_tiled_prim(image, x, y, ywin, xwin, dot_dtype, interpret, tile_h):
+def tile_flag_frac(image, x, y, ywin, xwin=512, tile_h=V2_TILE_H):
+    """Fraction of v2 tiles whose corner spread would violate the
+    (``ywin``, ``xwin``) windows on these warp coords — padding-identical
+    to the production tiled route, so it predicts exactly which tiles a
+    ``warp_banded`` call at that window would patch-recompute.  Cheap jnp
+    (the same predicate the tiled kernel prefetches; ~1 ms at the flagship
+    shape) — the adaptive-window policy's per-step signal
+    (parallel/train_step.py)."""
+    imgp, xp, yp = _pad_align(image, x, y, hmult=tile_h)
+    Hp, Wp = imgp.shape[1], imgp.shape[2]
+    wide = never_violating_window(Hp)
+    flags = _tiled_flags(imgp, xp, yp, min(ywin, wide), min(xwin, 2 * Wp),
+                         tile_h)
+    return jnp.mean(flags.astype(jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _warp_tiled_prim(image, x, y, ywin, xwin, dot_dtype, interpret, tile_h,
+                     bwd_ywin):
     """Tile-granular warp: narrow windows everywhere, whole-plane windows on
-    the per-tile-flagged spread violators, in ONE kernel."""
+    the per-tile-flagged spread violators, in ONE kernel.
+
+    ``bwd_ywin`` (0 = same as ``ywin``): y-window for the coordinate-
+    cotangent kernel only.  The bwd dot is the FLOP-dominant bucket (1.46×
+    its forward, docs/PERF.md round 4) and its band is built from the same
+    rows — a narrower bwd-only window halves its M-dim; tiles whose spread
+    exceeds it are re-flagged at the bwd window and take the whole-plane
+    patch branch, so the cotangents stay exact."""
     flags = _tiled_flags(image, x, y, ywin, xwin, tile_h)
     return _call_tiled_fwd(image, flags, x, y, ywin, xwin, dot_dtype,
                            interpret, tile_h)
 
 
-def _warp_tiled_prim_fwd(image, x, y, ywin, xwin, dot_dtype, interpret, tile_h):
+def _warp_tiled_prim_fwd(image, x, y, ywin, xwin, dot_dtype, interpret, tile_h,
+                         bwd_ywin):
     flags = _tiled_flags(image, x, y, ywin, xwin, tile_h)
     out = _call_tiled_fwd(image, flags, x, y, ywin, xwin, dot_dtype,
                           interpret, tile_h)
     return out, (image, x, y, flags)
 
 
-def _warp_tiled_prim_bwd(ywin, xwin, dot_dtype, interpret, tile_h, res, ct_out):
+def _warp_tiled_prim_bwd(ywin, xwin, dot_dtype, interpret, tile_h, bwd_ywin,
+                         res, ct_out):
     image, x, y, flags = res
     ct_out = jnp.asarray(ct_out, jnp.float32)
+    if bwd_ywin and bwd_ywin != ywin:
+        ywin = bwd_ywin
+        flags = _tiled_flags(image, x, y, ywin, xwin, tile_h)
     dx, dy = _call_tiled_bwd(image, flags, x, y, ct_out, ywin, xwin,
                              dot_dtype, interpret, tile_h)
     # image cotangent: jnp gather-transpose, DCE'd when unused (see v1)
@@ -1049,7 +1078,8 @@ _warp_banded_prim.defvjp(_warp_banded_prim_fwd, _warp_banded_prim_bwd)
 
 
 def warp_banded(image, x, y, window=128, dot_dtype=jnp.float32,
-                interpret=False, xwin=512, ywin=96, tile_h=V2_TILE_H):
+                interpret=False, xwin=512, ywin=96, tile_h=V2_TILE_H,
+                bwd_ywin=0):
     """Gather-free banded bilinear warp, always exact.
 
     Drop-in for ``ops.resample.resample_bilinear`` on same-resolution warps
@@ -1085,8 +1115,12 @@ def warp_banded(image, x, y, window=128, dot_dtype=jnp.float32,
         # no whole-call predicate / branch at all
         ywin = min(ywin, wide)
         xwin = min(xwin, 2 * Wp)
+        if bwd_ywin:
+            bwd_ywin = min(bwd_ywin, wide)
+            if bwd_ywin < 16 or bwd_ywin == ywin:
+                bwd_ywin = 0
         out = _warp_tiled_prim(imgp, xp, yp, ywin, xwin, dot_dtype, interpret,
-                               tile_h)
+                               tile_h, bwd_ywin)
         return out[:, :H, :W].astype(image.dtype)
 
     def _fast(imp, xxp, yyp):

@@ -29,6 +29,7 @@ detectron2/geometry/camera.py:196) and of the TF-style gather resampler
 
 from __future__ import annotations
 
+import contextlib
 import math
 
 import jax
@@ -63,12 +64,28 @@ _WARP_XWIN = 512
 _WARP_YWIN = 96
 # v2/tiled output tile height (cfg TPU.WARP_TILE_H; multiple of 8).
 _WARP_TILE_H = 8
+# Backward-only y-window (cfg TPU.WARP_YWIN_BWD; 0 = same as forward): the
+# coordinate-cotangent kernel re-flags tiles at this window and runs its
+# dots at the narrower band (docs/PERF.md round-5 warp-bwd-diet probe).
+_WARP_YWIN_BWD = 0
+# Adaptive narrow-window candidate (cfg TPU.WARP_YWIN_NARROW; 0 = off).
+# The train step compiles a second executable at this y-window and switches
+# to it per step once the per-tile flag predicate reports zero would-be
+# violations (parallel/train_step.py policy; docs/PERF.md round 5).
+_WARP_YWIN_NARROW = 48
+
+# Trace-time tap: when a list, the v2-eligible warp calls append the
+# would-be flag fraction at _WARP_FLAG_YWIN (see warp_trace_overrides).
+_WARP_FLAG_TAP = None
+_WARP_FLAG_YWIN = 0
 
 
 def set_warp_impl(impl: str, window: int = None, xwin: int = None,
-                  ywin: int = None, tile_h: int = None) -> None:
+                  ywin: int = None, tile_h: int = None,
+                  ywin_narrow: int = None, ywin_bwd: int = None) -> None:
     """Select the warp backend (module-level, read at trace time)."""
     global _WARP_IMPL, _WARP_WINDOW, _WARP_XWIN, _WARP_YWIN, _WARP_TILE_H
+    global _WARP_YWIN_NARROW, _WARP_YWIN_BWD
     if impl not in _WARP_IMPLS:
         raise ValueError(f"warp impl {impl!r} not in {_WARP_IMPLS}")
     _WARP_IMPL = impl
@@ -80,6 +97,46 @@ def set_warp_impl(impl: str, window: int = None, xwin: int = None,
         _WARP_YWIN = int(ywin)
     if tile_h is not None:
         _WARP_TILE_H = int(tile_h)
+    if ywin_narrow is not None:
+        _WARP_YWIN_NARROW = int(ywin_narrow)
+    if ywin_bwd is not None:
+        _WARP_YWIN_BWD = int(ywin_bwd)
+
+
+def configured_ywin() -> int:
+    return _WARP_YWIN
+
+
+def configured_narrow_ywin() -> int:
+    """The adaptive narrow-window candidate, or 0 when the policy cannot
+    apply (gather impl, narrow disabled, or narrow ≥ the configured wide
+    window)."""
+    if _WARP_IMPL == "gather":
+        return 0
+    if not (0 < _WARP_YWIN_NARROW < _WARP_YWIN):
+        return 0
+    return _WARP_YWIN_NARROW
+
+
+@contextlib.contextmanager
+def warp_trace_overrides(ywin: int = 0, flag_ywin: int = 0):
+    """Trace-time warp-config scope: optionally override the v2 y-window
+    (``ywin``) and/or collect per-call would-be flag fractions at a
+    candidate window (``flag_ywin``).  Yields the tap list; v2-eligible
+    :func:`resample_bilinear` calls traced inside the scope append one
+    scalar tracer each.  Used by the train step to compile narrow/wide
+    step variants and emit the adaptive policy's signal."""
+    global _WARP_YWIN, _WARP_FLAG_TAP, _WARP_FLAG_YWIN
+    prev = (_WARP_YWIN, _WARP_FLAG_TAP, _WARP_FLAG_YWIN)
+    tap = []
+    if ywin:
+        _WARP_YWIN = int(ywin)
+    if flag_ywin:
+        _WARP_FLAG_TAP, _WARP_FLAG_YWIN = tap, int(flag_ywin)
+    try:
+        yield tap
+    finally:
+        _WARP_YWIN, _WARP_FLAG_TAP, _WARP_FLAG_YWIN = prev
 
 
 def _gather_corner(
@@ -159,10 +216,25 @@ def resample_bilinear(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp
         from . import pallas_warp
 
         if pallas_warp.eligible(image, x, y) and jax.default_backend() == "tpu":
+            if (
+                _WARP_FLAG_TAP is not None
+                and image.shape[2] >= pallas_warp.V2_MIN_W
+                and _WARP_XWIN >= 256
+                and _WARP_YWIN >= 16
+            ):
+                # same v2-eligibility as warp_banded: this call would run the
+                # tiled kernel, so record its would-be flag fraction at the
+                # narrow candidate window for the adaptive policy
+                _WARP_FLAG_TAP.append(
+                    pallas_warp.tile_flag_frac(
+                        image, x, y, _WARP_FLAG_YWIN, _WARP_XWIN, _WARP_TILE_H
+                    )
+                )
             dd = jnp.float32 if _WARP_IMPL == "banded_f32" else jnp.bfloat16
             return pallas_warp.warp_banded(
                 image, x, y, window=_WARP_WINDOW, dot_dtype=dd,
                 xwin=_WARP_XWIN, ywin=_WARP_YWIN, tile_h=_WARP_TILE_H,
+                bwd_ywin=_WARP_YWIN_BWD,
             )
     return _resample_gather_auto(image, x, y)
 

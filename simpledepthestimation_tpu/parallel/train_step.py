@@ -50,6 +50,28 @@ def create_train_state(model, optimizer, sample_batch, rng, train: bool = True) 
     )
 
 
+# Adaptive-window policy constants (docs/PERF.md round 5): switch to the
+# narrow executable after this many consecutive flag-free steps, back to
+# wide on the first flagged step, reading the flag signal LAG steps behind
+# the dispatch front so the host never drains the device pipeline.
+_ADAPT_LAG = 2
+_ADAPT_DOWN_STREAK = 3
+
+
+def _adapt_update(adapt: dict, frac: float) -> None:
+    """One adaptive-window policy transition from an observed narrow-window
+    flag fraction: any flagged tile retreats to wide immediately (a flagged
+    step under narrow pays whole-plane patch tiles); ``_ADAPT_DOWN_STREAK``
+    consecutive flag-free steps switch to narrow."""
+    if frac > 0.0:
+        adapt["streak"] = 0
+        adapt["narrow"] = False
+    else:
+        adapt["streak"] += 1
+        if adapt["streak"] >= _ADAPT_DOWN_STREAK:
+            adapt["narrow"] = True
+
+
 def make_train_step(
     model,
     optimizer,
@@ -57,6 +79,7 @@ def make_train_step(
     donate: bool = True,
     grad_clip: float = 0.0,
     remat: bool = False,
+    adaptive_ywin: int = -1,
 ):
     """Build the jitted SPMD train step.
 
@@ -66,55 +89,100 @@ def make_train_step(
     noise stddev / motion burn-in weight — reference
     projects/MotionLearning/train.py:105-114) ride in the batch dict as
     traced scalars; ``batch_sharding`` replicates them automatically.
+
+    ``adaptive_ywin``: narrow v2 warp y-window candidate for the adaptive
+    window policy (−1 = read cfg-configured ``TPU.WARP_YWIN_NARROW`` from
+    the resample module, 0 = off).  When active (TPU only), the step is
+    compiled at both the wide (configured) and narrow y-window; every step
+    emits ``warp_narrow_frac`` — the fraction of warp tiles that would
+    violate the NARROW window on that step's coords (cheap jnp predicate,
+    computed identically in both variants) — and the host switches to the
+    narrow executable after ``_ADAPT_DOWN_STREAK`` consecutive flag-free
+    steps, back to wide on the first flagged one (hysteresis, read
+    ``_ADAPT_LAG`` steps behind).  Narrow halves the warp dot's M-dim
+    (+8.5% measured at the flagship shape in the flag-free regime); a
+    flagged step under narrow pays per-tile whole-plane patches, hence the
+    immediate retreat (docs/PERF.md round-4/5 ywin measurements).
     """
+    from ..ops import resample
 
-    def apply_model(params, batch_stats, batch, step_rng):
-        variables = {"params": params}
-        mutable = []
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
-            mutable = ["batch_stats"]
-        return model.apply(
-            variables,
-            batch,
-            train=True,
-            mutable=mutable,
-            rngs={"noise": step_rng},
+    if adaptive_ywin < 0:
+        # auto: cfg-configured narrow window, TPU only (the banded kernel —
+        # and therefore the window choice — exists only on the TPU backend;
+        # an explicit adaptive_ywin > 0 is honored anywhere for tests)
+        adaptive_ywin = (
+            resample.configured_narrow_ywin()
+            if jax.default_backend() == "tpu"
+            else 0
         )
+    adaptive = adaptive_ywin > 0
 
-    if remat:
-        # trade FLOPs for HBM: recompute the forward during backprop
-        # (cfg TPU.REMAT; the jax.checkpoint analog of activation checkpointing)
-        apply_model = jax.checkpoint(apply_model, static_argnums=())
+    def make_step_fn(ywin_active: int):
+        """Step variant traced at ``ywin_active`` (0 = module default)."""
 
-    def loss_fn(params, batch_stats, batch, step_rng):
-        outputs, new_vars = apply_model(params, batch_stats, batch, step_rng)
-        total = jnp.sum(jnp.stack([v for v in outputs.values()]))
-        new_stats = new_vars.get("batch_stats", batch_stats) if batch_stats else batch_stats
-        return total, (outputs, new_stats)
+        def apply_model(params, batch_stats, batch, step_rng):
+            variables = {"params": params}
+            mutable = []
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+                mutable = ["batch_stats"]
+            with resample.warp_trace_overrides(
+                ywin=ywin_active, flag_ywin=adaptive_ywin if adaptive else 0
+            ) as tap:
+                outputs, new_vars = model.apply(
+                    variables,
+                    batch,
+                    train=True,
+                    mutable=mutable,
+                    rngs={"noise": step_rng},
+                )
+            if adaptive:
+                outputs = dict(outputs)
+                # max over warp calls: the policy must stay wide if ANY
+                # v2-eligible plane would flag at the narrow window
+                outputs["warp_narrow_frac"] = (
+                    jnp.max(jnp.stack(tap)) if tap else jnp.zeros((), jnp.float32)
+                )
+            return outputs, new_vars
 
-    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], step_rng) -> Tuple[TrainState, Dict]:
-        (total, (loss_dict, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.batch_stats, batch, step_rng)
+        if remat:
+            # trade FLOPs for HBM: recompute the forward during backprop
+            # (cfg TPU.REMAT; the jax.checkpoint analog of activation
+            # checkpointing)
+            apply_model = jax.checkpoint(apply_model, static_argnums=())
 
-        grad_norm = optax.global_norm(grads)
-        if grad_clip > 0.0:
-            scale = jnp.minimum(1.0, grad_clip / (grad_norm + 1e-12))
-            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        def loss_fn(params, batch_stats, batch, step_rng):
+            outputs, new_vars = apply_model(params, batch_stats, batch, step_rng)
+            total = jnp.sum(
+                jnp.stack([v for k, v in outputs.items() if "loss" in k])
+            )
+            new_stats = new_vars.get("batch_stats", batch_stats) if batch_stats else batch_stats
+            return total, (outputs, new_stats)
 
-        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], step_rng) -> Tuple[TrainState, Dict]:
+            (total, (loss_dict, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.batch_stats, batch, step_rng)
 
-        new_state = TrainState(
-            step=state.step + 1,
-            params=new_params,
-            batch_stats=new_stats,
-            opt_state=new_opt_state,
-        )
-        metrics = {"total_loss": total, "grad_norm": grad_norm}
-        metrics.update(loss_dict)
-        return new_state, metrics
+            grad_norm = optax.global_norm(grads)
+            if grad_clip > 0.0:
+                scale = jnp.minimum(1.0, grad_clip / (grad_norm + 1e-12))
+                grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+
+            updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+
+            new_state = TrainState(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt_state,
+            )
+            metrics = {"total_loss": total, "grad_norm": grad_norm}
+            metrics.update(loss_dict)
+            return new_state, metrics
+
+        return step_fn
 
     rep = replicated(mesh)
     dsh = data_sharding(mesh)
@@ -126,25 +194,47 @@ def make_train_step(
             for k, v in batch.items()
         }
 
-    def compile_for(batch):
+    def compile_for(batch, ywin_active: int = 0):
         return jax.jit(
-            step_fn,
+            make_step_fn(ywin_active),
             in_shardings=(rep, batch_sharding(batch), rep),
             out_shardings=(rep, rep),
             donate_argnums=(0,) if donate else (),
         )
 
-    # cache one compiled step per batch structure
+    # cache one compiled step per (batch structure, active window)
     _cache: Dict[Tuple, Callable] = {}
+
+    # host-side adaptive state (shared across batch structures: the signal
+    # is per-trajectory, not per-shape)
+    adapt = {"narrow": False, "streak": 0, "seq": 0}
+    inflight = []  # (seq, warp_narrow_frac device scalar)
 
     def run(state, batch, step_rng):
         # strip host-only entries (metadata lists etc.) before tracing
         batch = {k: v for k, v in batch.items() if hasattr(v, "shape")}
-        key = tuple(sorted((k, v.shape, str(v.dtype)) for k, v in batch.items()))
+        ywin_active = 0
+        if adaptive:
+            # consume flag signals that are ≥ LAG steps old (their device
+            # computation has long finished; fetching does not stall the
+            # in-flight steps)
+            while inflight and inflight[0][0] <= adapt["seq"] - _ADAPT_LAG:
+                _, frac = inflight.pop(0)
+                _adapt_update(adapt, float(jax.device_get(frac)))
+            if adapt["narrow"]:
+                ywin_active = adaptive_ywin
+        key = tuple(
+            sorted((k, v.shape, str(v.dtype)) for k, v in batch.items())
+        ) + (ywin_active,)
         if key not in _cache:
-            _cache[key] = compile_for(batch)
-        return _cache[key](state, batch, step_rng)
+            _cache[key] = compile_for(batch, ywin_active)
+        out_state, metrics = _cache[key](state, batch, step_rng)
+        if adaptive:
+            inflight.append((adapt["seq"], metrics["warp_narrow_frac"]))
+            adapt["seq"] += 1
+        return out_state, metrics
 
+    run.adapt = adapt  # introspection (tests, bench instrumentation)
     return run
 
 

@@ -177,6 +177,34 @@ def test_tiled_tile_h16(case, img, rng):
                                atol=1e-5 * scale)
 
 
+@pytest.mark.parametrize("case", ["coherent", "bidirectional-large"])
+def test_tiled_bwd_ywin(case, img, rng):
+    """Backward-only narrow window (TPU.WARP_YWIN_BWD): the coordinate
+    cotangents stay oracle-exact when the bwd kernel runs at ywin 48 under
+    a ywin-96 forward — tiles whose spread exceeds the narrower bwd budget
+    are re-flagged at 48 and take the whole-plane patch branch.  Both a
+    no-flag and a heavy-flag regime are pinned (the bidirectional case
+    flags most tiles at 48)."""
+    xs, ys = _grid()
+    x, y = CASES[case](rng, xs, ys)
+    c = jnp.stack([jnp.asarray(np.asarray(x, np.float32)),
+                   jnp.asarray(np.asarray(y, np.float32))])
+
+    def loss_t(c):
+        o = pw.warp_banded(img, c[0], c[1], dot_dtype=jnp.float32,
+                           interpret=True, xwin=XWIN, ywin=YWIN, bwd_ywin=48)
+        return jnp.sum(o ** 2)
+
+    def loss_o(c):
+        return jnp.sum(_resample_bilinear_4gather(img, c[0], c[1]) ** 2)
+
+    gt = jax.grad(loss_t)(c)
+    go = jax.grad(loss_o)(c)
+    scale = max(1.0, float(jnp.abs(go).max()))
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(go),
+                               atol=1e-5 * scale)
+
+
 def test_small_width_routes_v1(rng):
     """Below V2_MIN_W the router keeps the v1 row-banded path (measured
     faster at 320-wide planes) and stays exact."""

@@ -640,8 +640,10 @@ def test_bts_trajectory(tmp_path):
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.slow
-def test_motionlearning_trajectory(tmp_path):
+def _motionlearning_trajectory(
+    tmp_path, *, epochs=3, burn_in=8, n_steps_expected=6,
+    band_floor=2e-3, min_cos=1 - 1e-6, max_rel_l2=3e-3, drift_mult=3.0,
+):
     from detectron2.modeling.meta_arch.MotionLearning import (
         MotionLearningModel as RefML,
     )
@@ -668,7 +670,7 @@ def test_motionlearning_trajectory(tmp_path):
     pn.MASK_MOTION = True
     pn.LEARN_SCALE = True
     pn.SCALE_CONSTRAIN = "clip_ste"   # resnet18.yaml
-    pn.BURN_IN_ITERS = 8  # ramps 0 → 1 across the 6-step window
+    pn.BURN_IN_ITERS = burn_in  # ramps 0 → 1 partway through the window
 
     loss_keys = {
         "NUM_SCALES": 1, "SSIM_WEIGHT": 3.0, "C2": 9e-6,
@@ -691,7 +693,7 @@ def test_motionlearning_trajectory(tmp_path):
     solver.POSE_LR = 2e-4
     solver.LR_STEPS = (1,)   # milestone inside the window
     solver.GAMMA = 0.5
-    solver.MAX_EPOCHS = 3
+    solver.MAX_EPOCHS = epochs
     solver.GRAD_CLIP = 1.0   # small enough that the clip actually fires
     cfg.freeze()
 
@@ -709,7 +711,7 @@ def test_motionlearning_trajectory(tmp_path):
                     "NAME": "GoogleMotionNet", "USE_DEPTH": True,
                     "GROUP_NORM": False, "MASK_MOTION": True,
                     "LEARN_SCALE": True, "SCALE_CONSTRAIN": "clip_ste",
-                    "BURN_IN_ITERS": 8,
+                    "BURN_IN_ITERS": burn_in,
                 },
                 "MAX_DEPTH": 80.0,
                 "PIXEL_MEAN": [0.485, 0.456, 0.406],
@@ -741,7 +743,7 @@ def test_motionlearning_trajectory(tmp_path):
     )
     metrics = run_ours.last_metrics
     n_steps = len(batches)
-    assert n_steps == 3 * steps_per_epoch >= 6
+    assert n_steps == epochs * steps_per_epoch >= n_steps_expected
 
     # the window must actually exercise the machinery under test:
     grad_norms = np.array([m["grad_norm"] for m in metrics])
@@ -813,7 +815,7 @@ def test_motionlearning_trajectory(tmp_path):
         )
     )
     ours_a, theirs_a = np.asarray(ours), np.asarray(theirs)
-    band = 3.0 * np.maximum(np.abs(theirs_a - oracle), 2e-3 * np.abs(oracle))
+    band = 3.0 * np.maximum(np.abs(theirs_a - oracle), band_floor * np.abs(oracle))
     assert (np.abs(ours_a - oracle) <= band).all(), (
         f"ours-vs-f64 {np.abs(ours_a - oracle)} exceeds calibrated band "
         f"{band}\nours:   {ours_a}\ntorch32:{theirs_a}\noracle: {oracle}"
@@ -840,11 +842,34 @@ def test_motionlearning_trajectory(tmp_path):
     rel_l2 = float(np.linalg.norm(w_ours - w_torch)) / max(
         float(np.linalg.norm(w_torch)), 1e-30
     )
-    assert cos >= 1 - 1e-6, f"final-weight cosine {cos}"
-    assert rel_l2 <= 3e-3, f"final-weight rel-L2 {rel_l2}"
+    assert cos >= min_cos, f"final-weight cosine {cos}"
+    assert rel_l2 <= max_rel_l2, f"final-weight rel-L2 {rel_l2}"
     scale = max(float(np.linalg.norm(w_oracle)), 1e-30)
     d_ours = float(np.linalg.norm(w_ours - w_oracle)) / scale
     d_torch = float(np.linalg.norm(w_torch - w_oracle)) / scale
-    assert d_ours <= 3.0 * max(d_torch, 1e-7), (
+    assert d_ours <= drift_mult * max(d_torch, 1e-7), (
         f"ours drifted {d_ours} from the f64 oracle vs torch-f32's {d_torch}"
+    )
+
+
+@pytest.mark.slow
+def test_motionlearning_trajectory(tmp_path):
+    _motionlearning_trajectory(tmp_path)
+
+
+@pytest.mark.slow
+def test_motionlearning_long_trajectory(tmp_path):
+    """30-optimizer-step horizon for the schedule-heaviest family (VERDICT
+    r4 item 6): 15 epochs × 2 steps with the motion burn-in ramp stretched
+    to 20 steps so the traced ``motion_weight`` schedule stays in its
+    partial regime (0 < w < 1) for two thirds of the window, the LR
+    milestone at epoch 1, and grad-clip firing throughout.  Same
+    f64-oracle-calibrated per-step band + end-weight drift-band protocol as
+    the short test; the loss band floor widens with horizon (the ML loss is
+    indicator-branchy and separates chaotically — the calibrated oracle
+    band, not a fixed rtol, is the detector; see the short test's block
+    comment).  Bounds calibrated from measured 30-step runs."""
+    _motionlearning_trajectory(
+        tmp_path, epochs=15, burn_in=20, n_steps_expected=30,
+        band_floor=5e-3, min_cos=1 - 1e-5, max_rel_l2=1e-2, drift_mult=3.0,
     )

@@ -17,8 +17,11 @@ import numpy as np
 
 CASES = [
     # (name, meta_arch, depth_net kwargs, pose?, B, H, W)
-    ("Supervised-R18", "SupDepthModel", {"NAME": "DepthResNet", "ENCODER_NAME": "18"}, False, 8, 192, 640),
-    ("BTS-R50", "SupDepthModel", {"NAME": "BtsModel", "ENCODER_NAME": "resnet50_bts"}, False, 8, 192, 640),
+    # reference shapes: Supervised Base.yaml KBCrops then RandomCrops to
+    # 704x352 and trains IMS_PER_BATCH 16 (resnet18.yaml keeps 16);
+    # bts_r50.yaml overrides IMS_PER_BATCH to 8 at the same crop
+    ("Supervised-R18", "SupDepthModel", {"NAME": "DepthResNet", "ENCODER_NAME": "18"}, False, 16, 352, 704),
+    ("BTS-R50", "SupDepthModel", {"NAME": "BtsModel", "ENCODER_NAME": "resnet50_bts"}, False, 8, 352, 704),
     ("MonoDepth2-R18", "MonoDepth2Model", {"NAME": "DepthResNet", "ENCODER_NAME": "18"}, True, 48, 192, 640),
     # reference shapes: packnet_1a.yaml trains 192x640 B=8; MotionLearning
     # Base.yaml trains 128x416 B=16

@@ -15,6 +15,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+# Number of steps captured inside the profiler trace; also the divisor that
+# turns the trace's total self-time into ms/step.
+N_TRACE_STEPS = 3
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -77,7 +81,7 @@ def main():
 
     os.makedirs(args.outdir, exist_ok=True)
     with jax.profiler.trace(args.outdir):
-        for i in range(3):
+        for i in range(N_TRACE_STEPS):
             state, m = step(state, dev, jax.random.fold_in(key, 100 + i))
         jax.block_until_ready(m["total_loss"])
 
@@ -106,20 +110,28 @@ def main():
         obj = None
     if obj is not None:
         # compact per-op table: self time (ms, per traced step), category,
-        # op name, first repo source line
+        # op name, first repo source line. Schema variations fall back to
+        # printing the raw payload (still usable by hand).
         import re
 
-        cols = [c["id"] for c in obj["cols"]]
-        idx = {c: i for i, c in enumerate(cols)}
-        out = []
-        for r in obj["rows"]:
-            v = [c.get("v") for c in r["c"]]
-            t_ms = float(v[idx["total_self_time"]] or 0) / 1e3 / 3.0
-            src = v[idx["source_info"]] or ""
-            m = re.search(r"simpledepthestimation_tpu/([\w/]+\.py:\d+)", src)
-            out.append((t_ms, v[idx["category"]] or "",
-                        (v[idx["hlo_op_name"]] or "")[:60],
-                        m.group(1) if m else ""))
+        try:
+            cols = [c["id"] for c in obj["cols"]]
+            idx = {c: i for i, c in enumerate(cols)}
+            out = []
+            for r in obj["rows"]:
+                v = [c.get("v") for c in r["c"]]
+                t_ms = (float(v[idx["total_self_time"]] or 0) / 1e3
+                        / N_TRACE_STEPS)
+                src = v[idx["source_info"]] or ""
+                m = re.search(
+                    r"simpledepthestimation_tpu/([\w/]+\.py:\d+)", src)
+                out.append((t_ms, v[idx["category"]] or "",
+                            (v[idx["hlo_op_name"]] or "")[:60],
+                            m.group(1) if m else ""))
+        except (KeyError, TypeError, ValueError) as e:
+            print(f"hlo_stats schema mismatch ({e!r}); raw payload:")
+            print(data[:20000])
+            return
         out.sort(reverse=True)
         print(f"{'ms/step':>9}  {'category':18} {'hlo op':60} source")
         for t_ms, cat, name, src in out[: args.top]:
