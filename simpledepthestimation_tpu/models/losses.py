@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.pool import avg_pool_3x3_reflect, avg_pool_3x3_same
-from ..ops.resample import grid_sample_bilinear
+from ..ops.resample import resample_bilinear_image_grad
 
 
 def masked_mean(x: jnp.ndarray, mask: jnp.ndarray, axis=None) -> jnp.ndarray:
@@ -195,7 +195,13 @@ def motion_consistency_loss(
     """
     B, H, W, _ = t_A2B.shape
 
-    sampled_t_B2A = grid_sample_bilinear(t_B2A, jax.lax.stop_gradient(coords_A_in_B))
+    # detached coords, differentiated image operand (the reference
+    # backprops grid_sample into t_B2A, motion_loss.py:11-12) — route to
+    # the gather path built for exactly that gradient structure
+    coords = jax.lax.stop_gradient(coords_A_in_B)
+    xs = (coords[..., 0] + 1.0) * (W - 1.0) / 2.0
+    ys = (coords[..., 1] + 1.0) * (H - 1.0) / 2.0
+    sampled_t_B2A = resample_bilinear_image_grad(t_B2A, xs, ys)
 
     R2R1 = R_A2B @ R_B2A  # [B,3,3]
     # rotate the sampled reverse translation into frame B: R_A2B @ t per pixel

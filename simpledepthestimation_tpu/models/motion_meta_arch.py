@@ -31,6 +31,7 @@ from ..geometry.camera import (
     view_synthesis,
 )
 from ..ops.pool import max_pool
+from ..ops.resample import const_image_warps
 
 
 @META_ARCH_REGISTRY.register()
@@ -96,9 +97,22 @@ class MotionLearningModel(nn.Module):
         MotionLearning.py:248-291). t_A2B: [B,H,W,3] dense."""
         out = {}
         rgbd_B = jnp.concatenate([frame_B, depth_B], -1)
-        sampled, depth_in_B, coords, proj_mask = view_synthesis(
-            rgbd_B, depth_A, K, R_A2B, t_A2B
-        )
+        # No gradient ever flows through the warped OPERAND: frame_B is a
+        # constant input frame, and every consumer of the sampled depth
+        # detaches it or compares it — depth_l1 detaches sampled_depth_B
+        # (reference MotionLearning.py:267), the proximity weight is
+        # detached as a whole (:283), and the occlusion mask is a float()
+        # comparison (:259). The coordinate gradients (through depth_A and
+        # the pose/motion projection) are unaffected. Making that
+        # structural zero explicit lets XLA DCE the warp's image-cotangent
+        # gather-transpose, which was 8 scatter fusions × 83 ms = 86% of
+        # the traced 774 ms step at 128×416 [2B=32] (docs/PERF.md round-5
+        # MotionLearning decomposition) — computing exact zeros.
+        rgbd_B = jax.lax.stop_gradient(rgbd_B)
+        with const_image_warps():
+            sampled, depth_in_B, coords, proj_mask = view_synthesis(
+                rgbd_B, depth_A, K, R_A2B, t_A2B
+            )
         out["coords_A_in_B"] = coords
         sampled_frame_B = sampled[..., :3]
         sampled_depth_B = sampled[..., 3:]

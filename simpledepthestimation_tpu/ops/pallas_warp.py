@@ -835,9 +835,9 @@ def tile_flag_frac(image, x, y, ywin, xwin=512, tile_h=V2_TILE_H):
     return jnp.mean(flags.astype(jnp.float32))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _warp_tiled_prim(image, x, y, ywin, xwin, dot_dtype, interpret, tile_h,
-                     bwd_ywin):
+                     bwd_ywin, image_grad):
     """Tile-granular warp: narrow windows everywhere, whole-plane windows on
     the per-tile-flagged spread violators, in ONE kernel.
 
@@ -853,7 +853,7 @@ def _warp_tiled_prim(image, x, y, ywin, xwin, dot_dtype, interpret, tile_h,
 
 
 def _warp_tiled_prim_fwd(image, x, y, ywin, xwin, dot_dtype, interpret, tile_h,
-                         bwd_ywin):
+                         bwd_ywin, image_grad):
     flags = _tiled_flags(image, x, y, ywin, xwin, tile_h)
     out = _call_tiled_fwd(image, flags, x, y, ywin, xwin, dot_dtype,
                           interpret, tile_h)
@@ -861,7 +861,7 @@ def _warp_tiled_prim_fwd(image, x, y, ywin, xwin, dot_dtype, interpret, tile_h,
 
 
 def _warp_tiled_prim_bwd(ywin, xwin, dot_dtype, interpret, tile_h, bwd_ywin,
-                         res, ct_out):
+                         image_grad, res, ct_out):
     image, x, y, flags = res
     ct_out = jnp.asarray(ct_out, jnp.float32)
     if bwd_ywin and bwd_ywin != ywin:
@@ -869,7 +869,11 @@ def _warp_tiled_prim_bwd(ywin, xwin, dot_dtype, interpret, tile_h, bwd_ywin,
         flags = _tiled_flags(image, x, y, ywin, xwin, tile_h)
     dx, dy = _call_tiled_bwd(image, flags, x, y, ct_out, ywin, xwin,
                              dot_dtype, interpret, tile_h)
-    # image cotangent: jnp gather-transpose, DCE'd when unused (see v1)
+    # image cotangent: jnp gather-transpose, DCE'd when unused (see v1);
+    # image_grad=False skips it statically (caller stop-gradients the
+    # operand)
+    if not image_grad:
+        return jnp.zeros_like(image), dx, dy
     from .resample import _resample_bilinear_4gather
 
     _, vjp_img = jax.vjp(
@@ -1048,23 +1052,33 @@ def warp_banded_raw(image, x, y, window=128, dot_dtype=jnp.float32,
     return out, viol
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _warp_banded_prim(image, x, y, window, dot_dtype, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _warp_banded_prim(image, x, y, window, dot_dtype, interpret, image_grad):
     return _call_fwd(image, x, y, window, dot_dtype, interpret)
 
 
-def _warp_banded_prim_fwd(image, x, y, window, dot_dtype, interpret):
-    out = _warp_banded_prim(image, x, y, window, dot_dtype, interpret)
+def _warp_banded_prim_fwd(image, x, y, window, dot_dtype, interpret,
+                          image_grad):
+    out = _warp_banded_prim(image, x, y, window, dot_dtype, interpret,
+                            image_grad)
     return out, (image, x, y)
 
 
-def _warp_banded_prim_bwd(window, dot_dtype, interpret, res, ct_out):
+def _warp_banded_prim_bwd(window, dot_dtype, interpret, image_grad, res,
+                          ct_out):
     image, x, y = res
     ct_out = jnp.asarray(ct_out, jnp.float32)
     dx, dy = _call_bwd_coords(image, x, y, ct_out, window, dot_dtype, interpret)
-    # Image cotangent via the jnp gather-transpose (scatter-add).  In
-    # production the warped operand is the constant context frame, so XLA
-    # DCEs this entire branch; it exists for correctness/tests.
+    # Image cotangent via the jnp gather-transpose (scatter-add).  When the
+    # warped operand is a traced constant XLA usually DCEs this branch —
+    # EXCEPT under the v1 whole-call ``lax.cond`` fallback, where the cond
+    # transpose keeps every branch output alive (measured: 4 scatter
+    # fusions × 83 ms of exact zeros per MotionLearning step,
+    # docs/PERF.md round-5 decomposition).  ``image_grad=False`` (static,
+    # from a caller that already stop-gradients the operand) skips it
+    # explicitly.
+    if not image_grad:
+        return jnp.zeros_like(image), dx, dy
     from .resample import _resample_bilinear_4gather
 
     _, vjp_img = jax.vjp(
@@ -1079,7 +1093,7 @@ _warp_banded_prim.defvjp(_warp_banded_prim_fwd, _warp_banded_prim_bwd)
 
 def warp_banded(image, x, y, window=128, dot_dtype=jnp.float32,
                 interpret=False, xwin=512, ywin=96, tile_h=V2_TILE_H,
-                bwd_ywin=0):
+                bwd_ywin=0, image_grad=True):
     """Gather-free banded bilinear warp, always exact.
 
     Drop-in for ``ops.resample.resample_bilinear`` on same-resolution warps
@@ -1120,15 +1134,17 @@ def warp_banded(image, x, y, window=128, dot_dtype=jnp.float32,
             if bwd_ywin < 16 or bwd_ywin == ywin:
                 bwd_ywin = 0
         out = _warp_tiled_prim(imgp, xp, yp, ywin, xwin, dot_dtype, interpret,
-                               tile_h, bwd_ywin)
+                               tile_h, bwd_ywin, image_grad)
         return out[:, :H, :W].astype(image.dtype)
 
     def _fast(imp, xxp, yyp):
-        out = _warp_banded_prim(imp, xxp, yyp, window, dot_dtype, interpret)
+        out = _warp_banded_prim(imp, xxp, yyp, window, dot_dtype, interpret,
+                                image_grad)
         return out[:, :H, :W].astype(image.dtype)
 
     def _wide(imp, xxp, yyp):
-        out = _warp_banded_prim(imp, xxp, yyp, wide, dot_dtype, interpret)
+        out = _warp_banded_prim(imp, xxp, yyp, wide, dot_dtype, interpret,
+                                image_grad)
         return out[:, :H, :W].astype(image.dtype)
 
     if window == wide:

@@ -78,6 +78,27 @@ _WARP_YWIN_NARROW = 48
 # would-be flag fraction at _WARP_FLAG_YWIN (see warp_trace_overrides).
 _WARP_FLAG_TAP = None
 _WARP_FLAG_YWIN = 0
+# Trace-time const-image marker (see const_image_warps): banded warps
+# traced inside the scope skip the image-cotangent gather-transpose.
+_WARP_IMAGE_GRAD = True
+
+
+@contextlib.contextmanager
+def const_image_warps():
+    """Trace-time scope: warps traced inside sample a CONSTANT operand (the
+    caller stop-gradients it), so the banded kernels' custom-VJP skips the
+    image-cotangent scatter statically.  Needed because the v1 kernel's
+    whole-call ``lax.cond`` fallback defeats XLA's DCE of the (exactly
+    zero) scatter — 4 fusions × 83 ms per MotionLearning step
+    (docs/PERF.md round-5 decomposition).  Gather-path warps need no
+    marker: plain JAX AD tracks the stop_gradient's activity exactly."""
+    global _WARP_IMAGE_GRAD
+    prev = _WARP_IMAGE_GRAD
+    _WARP_IMAGE_GRAD = False
+    try:
+        yield
+    finally:
+        _WARP_IMAGE_GRAD = prev
 
 
 def set_warp_impl(impl: str, window: int = None, xwin: int = None,
@@ -234,7 +255,7 @@ def resample_bilinear(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp
             return pallas_warp.warp_banded(
                 image, x, y, window=_WARP_WINDOW, dot_dtype=dd,
                 xwin=_WARP_XWIN, ywin=_WARP_YWIN, tile_h=_WARP_TILE_H,
-                bwd_ywin=_WARP_YWIN_BWD,
+                bwd_ywin=_WARP_YWIN_BWD, image_grad=_WARP_IMAGE_GRAD,
             )
     return _resample_gather_auto(image, x, y)
 
@@ -293,6 +314,26 @@ def _resample_bilinear_packed(
     bot = v10 * (1 - wx) + v11 * wx
     out = top * (1 - wy) + bot * wy
     return out.reshape((B,) + out_shape + (C,))
+
+
+def resample_bilinear_image_grad(
+    image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
+) -> jnp.ndarray:
+    """Bilinear sample for warps whose GRADIENT flows through the image
+    operand while the coords are detached (MotionLearning's cycle loss —
+    the reference backprops ``F.grid_sample`` into the sampled translation
+    field, motion_loss.py:11-12).
+
+    Takes the measured-fastest gather formulation directly instead of the
+    banded MXU kernel: the kernel's strength is gather-free coordinate
+    gradients, which a detached-coords warp never needs, while its image
+    cotangent is the 4-corner scatter-add over the 128-PADDED plane plus
+    wasted dx/dy kernel dispatches (4 × 83 ms + 30 ms of a 441 ms
+    MotionLearning step, docs/PERF.md round-5 decomposition).  The packed
+    row-pair gather (≤2.5M indices) halves the backward's scatter index
+    count: its VJP scatters 6-wide row-pair slices — 2 scatters per sample
+    instead of 4."""
+    return _resample_gather_auto(image, x, y)
 
 
 def grid_sample_bilinear(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:

@@ -136,6 +136,12 @@ def make_train_step(
                     mutable=mutable,
                     rngs={"noise": step_rng},
                 )
+            if tap:
+                # trace-time side channel: the policy only runs when the
+                # step actually contains a v2-eligible warp — otherwise the
+                # "narrow" variant would be an identical recompile for a
+                # constant-zero signal
+                had_v2_warp["v"] = True
             if adaptive:
                 outputs = dict(outputs)
                 # max over warp calls: the policy must stay wide if ANY
@@ -209,12 +215,16 @@ def make_train_step(
     # is per-trajectory, not per-shape)
     adapt = {"narrow": False, "streak": 0, "seq": 0}
     inflight = []  # (seq, warp_narrow_frac device scalar)
+    # set during tracing of the first (wide) variant; the policy stays off
+    # for models whose step never takes the v2 tiled-warp route (supervised
+    # families, planes narrower than V2_MIN_W)
+    had_v2_warp = {"v": False}
 
     def run(state, batch, step_rng):
         # strip host-only entries (metadata lists etc.) before tracing
         batch = {k: v for k, v in batch.items() if hasattr(v, "shape")}
         ywin_active = 0
-        if adaptive:
+        if adaptive and had_v2_warp["v"]:
             # consume flag signals that are ≥ LAG steps old (their device
             # computation has long finished; fetching does not stall the
             # in-flight steps)
@@ -229,12 +239,13 @@ def make_train_step(
         if key not in _cache:
             _cache[key] = compile_for(batch, ywin_active)
         out_state, metrics = _cache[key](state, batch, step_rng)
-        if adaptive:
+        if adaptive and had_v2_warp["v"]:
             inflight.append((adapt["seq"], metrics["warp_narrow_frac"]))
             adapt["seq"] += 1
         return out_state, metrics
 
     run.adapt = adapt  # introspection (tests, bench instrumentation)
+    run.had_v2 = had_v2_warp
     return run
 
 

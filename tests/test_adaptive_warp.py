@@ -83,10 +83,11 @@ def test_flag_frac_regimes(rng):
 def test_step_loop_switches_to_narrow():
     """End-to-end on the CPU mesh with the policy forced on: the CPU
     backend takes the gather warp (no v2-eligible call → empty tap), so
-    the emitted ``warp_narrow_frac`` is constantly 0.0 and the controller
-    must flip to the narrow executable after streak+lag steps — proving
-    the metric plumbing, the lagged signal consumption, and that both
-    compiled variants run the same model."""
+    the policy must stay OFF by itself (a narrow variant would be an
+    identical recompile); with the trace-time v2 marker forced, the
+    controller must flip to the narrow executable after streak+lag steps —
+    proving the metric plumbing, the lagged signal consumption, and that
+    both compiled variants run the same model."""
     from simpledepthestimation_tpu.config import get_cfg
     from simpledepthestimation_tpu.models import build_model
     from simpledepthestimation_tpu.parallel import (
@@ -124,8 +125,18 @@ def test_step_loop_switches_to_narrow():
                            adaptive_ywin=48)
     key = jax.random.PRNGKey(1)
     losses = []
-    for i in range(TS._ADAPT_DOWN_STREAK + TS._ADAPT_LAG + 2):
+    # no v2-eligible warp on the CPU path: the policy must not engage
+    state, m = step(state, batch, jax.random.fold_in(key, 0))
+    assert not step.had_v2["v"]
+    for i in range(1, TS._ADAPT_DOWN_STREAK + TS._ADAPT_LAG + 2):
         state, m = step(state, batch, jax.random.fold_in(key, i))
+    assert not step.adapt["narrow"] and step.adapt["seq"] == 0
+
+    # force the trace-time v2 marker: the constantly-zero signal must now
+    # flip the controller to the narrow executable after streak+lag steps
+    step.had_v2["v"] = True
+    for i in range(TS._ADAPT_DOWN_STREAK + TS._ADAPT_LAG + 2):
+        state, m = step(state, batch, jax.random.fold_in(key, 100 + i))
         assert "warp_narrow_frac" in m
         assert float(m["warp_narrow_frac"]) == 0.0
         losses.append(float(m["total_loss"]))

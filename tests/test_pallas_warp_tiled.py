@@ -205,6 +205,30 @@ def test_tiled_bwd_ywin(case, img, rng):
                                atol=1e-5 * scale)
 
 
+def test_image_grad_flag(img, rng):
+    """``image_grad=False`` (the const-operand marker MotionLearning sets
+    after stop-gradienting its warped RGBD): coordinate gradients stay
+    oracle-exact and the image cotangent is exactly zero."""
+    xs, ys = _grid()
+    x, y = CASES["coherent"](rng, xs, ys)
+    c = jnp.stack([jnp.asarray(x.astype(np.float32)),
+                   jnp.asarray(y.astype(np.float32))])
+
+    def loss_t(im, c):
+        o = pw.warp_banded(im, c[0], c[1], dot_dtype=jnp.float32,
+                           interpret=True, xwin=XWIN, ywin=YWIN,
+                           image_grad=False)
+        return jnp.sum(o ** 2)
+
+    (gi, gc) = jax.grad(loss_t, argnums=(0, 1))(img, c)
+    go = jax.grad(lambda c: jnp.sum(
+        _resample_bilinear_4gather(img, c[0], c[1]) ** 2))(c)
+    assert float(jnp.abs(gi).max()) == 0.0
+    scale = max(1.0, float(jnp.abs(go).max()))
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(go),
+                               atol=1e-5 * scale)
+
+
 def test_small_width_routes_v1(rng):
     """Below V2_MIN_W the router keeps the v1 row-banded path (measured
     faster at 320-wide planes) and stays exact."""
