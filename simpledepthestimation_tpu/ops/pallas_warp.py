@@ -1006,6 +1006,133 @@ def _call_bwd_coords(image, x, y, ct, window, dot_dtype, interpret=False):
     return dx, dy
 
 
+# ---------------------------------------------------------------------------
+# Image-cotangent kernel (round 5): the transpose of the banded warp as MXU
+# matmuls — scatter-free d_image for warps differentiated w.r.t. their
+# IMAGE operand at detached coords (MotionLearning's cycle loss warps the
+# predicted translation field; the reference backprops F.grid_sample into
+# it, motion_loss.py:11).  The jnp scatter-add transpose costs ~70 ns/index
+# on v5e in EVERY formulation (tools/microbench_scatter.py: 4×C-wide 276 ms,
+# 2×2C-wide 142 ms, 1×4C-wide 119 ms at [32,128,416,3]) — index-throughput-
+# bound, like the forward gather study (docs/PERF.md item 2).  This kernel
+# removes the scatter the same way the forward kernels removed the gather:
+#
+#   d_img[c, r, w] = Σ_{i,j} ct[c,i,j] · X_i[w,j] · Y_i[r,j]
+#
+# Grid over IMAGE-row tiles (B, Hin/8): for image tile rows [R, R+8), loop
+# over output-row groups of G; each group contributes ONE dot
+# ``A @ X_stack`` with A[c·r, i·W+j] = ct[c,i,j]·Y-indicator(R+r, y(i,j))
+# and X_stack[i·W+j, w] the stacked x-one-hots — both built from iota
+# compares in VMEM (no gather, no scatter).  Out-of-image corners match no
+# iota position (zeros padding exact); padded output rows carry x = -2 and
+# zero ct, contributing nothing.
+# ---------------------------------------------------------------------------
+
+
+def _img_ct_kernel(ct_ref, x_ref, y_ref, out_ref, acc, *, C, Ho, W, G,
+                   dot_dtype):
+    """One 8-row image tile of d_img: accumulate over all output rows.
+
+    ct_ref: [1, C, Ho, W] (zero-padded); x/y: [1, Ho, W] (x pads -2.0);
+    out: [1, C, 8, W] f32; acc scratch: [C*8, W] f32.
+    """
+    from jax.experimental import pallas as pl
+
+    R = pl.program_id(1) * 8
+
+    acc[...] = jnp.zeros_like(acc)
+
+    def group_body(g, _):
+        xr = x_ref[0, pl.ds(g * G, G), :]       # [G, W]
+        yr = y_ref[0, pl.ds(g * G, G), :]
+        ctg = ct_ref[0, :, pl.ds(g * G, G), :]  # [C, G, W]
+
+        x0 = jnp.floor(xr)
+        wx = (xr - x0).astype(dot_dtype)
+        y0 = jnp.floor(yr)
+        wy = (yr - y0).astype(jnp.float32)
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        # Y indicators for THIS image tile's 8 rows: [8, G, W]
+        ior = jax.lax.broadcasted_iota(jnp.int32, (8, G, W), 0) + R
+        Yl = (
+            (ior == y0i[None]).astype(jnp.float32) * (1.0 - wy)[None]
+            + (ior == y0i[None] + 1).astype(jnp.float32) * wy[None]
+        )
+        A = (ctg[:, None] * Yl[None]).reshape(C * 8, G * W)
+
+        # stacked x-one-hots: [G*W, W]
+        iow = jax.lax.broadcasted_iota(jnp.int32, (G * W, W), 1)
+        x0f = x0i.reshape(G * W)[:, None]
+        wxf = wx.reshape(G * W)[:, None]
+        Xs = (
+            (iow == x0f).astype(dot_dtype) * (1.0 - wxf)
+            + (iow == x0f + 1).astype(dot_dtype) * wxf
+        )
+        acc[...] += jax.lax.dot(
+            A.astype(dot_dtype), Xs,
+            precision=_dot_precision(dot_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, Ho // G, group_body, 0)
+    out_ref[0] = acc[...].reshape(C, 8, W)
+
+
+def warp_image_cotangent(ct, x, y, Hin, dot_dtype=jnp.bfloat16,
+                         interpret=False, group=8):
+    """d_image of ``resample_bilinear(image, x, y)`` w.r.t. ``image``,
+    contracted with cotangent ``ct`` — scatter-free (module section
+    comment).
+
+    ct: [B, Ho, Wo, C] output cotangent; x, y: [B, Ho, Wo] pixel coords
+    into an image of shape [B, Hin, Wo, C].  Returns [B, Hin, Wo, C] f32.
+    bf16 ``dot_dtype`` keeps the one-hot structure exact and rounds only
+    interp weights / ct values (same argument as the forward kernels).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Ho, W, C = ct.shape
+    G = group
+    Wp = _ceil_to(W, 128)
+    Hop = _ceil_to(Ho, G)
+    Hp_in = _ceil_to(Hin, 8)
+
+    ct_cf = ct.transpose(0, 3, 1, 2).astype(jnp.float32)  # [B, C, Ho, W]
+    if (Hop, Wp) != (Ho, W):
+        ct_cf = jnp.pad(ct_cf, ((0, 0), (0, 0), (0, Hop - Ho), (0, Wp - W)))
+        pad_c = ((0, 0), (0, Hop - Ho), (0, Wp - W))
+        x = jnp.pad(x, pad_c, constant_values=-2.0)
+        y = jnp.pad(y, pad_c, mode="edge")
+
+    kernel = functools.partial(
+        _img_ct_kernel, C=C, Ho=Hop, W=Wp, G=G, dot_dtype=dot_dtype,
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Hp_in // 8),
+        in_specs=[
+            pl.BlockSpec((1, C, Hop, Wp), lambda b, t: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hop, Wp), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, Hop, Wp), lambda b, t: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, C, 8, Wp), lambda b, t: (b, 0, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, C, Hp_in, Wp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((C * 8, Wp), jnp.float32)],
+        interpret=interpret,
+        **kwargs,
+    )(ct_cf, x, y)
+    return out[:, :, :Hin, :W].transpose(0, 2, 3, 1)
+
+
 def eligible(image, x, y) -> bool:
     """Kernel applicability: a same-resolution warp (coords per output pixel
     of the input plane).  Alignment is NOT required — :func:`warp_banded`

@@ -316,6 +316,33 @@ def _resample_bilinear_packed(
     return out.reshape((B,) + out_shape + (C,))
 
 
+@jax.custom_vjp
+def _resample_const_coords_prim(image, x, y):
+    return _resample_gather_auto(image, x, y)
+
+
+def _resample_const_coords_fwd(image, x, y):
+    out = _resample_gather_auto(image, x, y)
+    return out, (x, y, image.shape, image.dtype)
+
+
+def _resample_const_coords_bwd(res, ct):
+    from . import pallas_warp
+
+    x, y, shape, dtype = res
+    ct = jnp.asarray(ct, jnp.float32)
+    dd = jnp.float32 if _WARP_IMPL == "banded_f32" else jnp.bfloat16
+    d_image = pallas_warp.warp_image_cotangent(ct, x, y, shape[1], dot_dtype=dd)
+    # coords are detached by contract (the caller stop-gradients them);
+    # their cotangents are structurally zero
+    return d_image.astype(dtype), jnp.zeros_like(x), jnp.zeros_like(y)
+
+
+_resample_const_coords_prim.defvjp(
+    _resample_const_coords_fwd, _resample_const_coords_bwd
+)
+
+
 def resample_bilinear_image_grad(
     image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
 ) -> jnp.ndarray:
@@ -324,15 +351,29 @@ def resample_bilinear_image_grad(
     the reference backprops ``F.grid_sample`` into the sampled translation
     field, motion_loss.py:11-12).
 
-    Takes the measured-fastest gather formulation directly instead of the
-    banded MXU kernel: the kernel's strength is gather-free coordinate
-    gradients, which a detached-coords warp never needs, while its image
-    cotangent is the 4-corner scatter-add over the 128-PADDED plane plus
-    wasted dx/dy kernel dispatches (4 × 83 ms + 30 ms of a 441 ms
-    MotionLearning step, docs/PERF.md round-5 decomposition).  The packed
-    row-pair gather (≤2.5M indices) halves the backward's scatter index
-    count: its VJP scatters 6-wide row-pair slices — 2 scatters per sample
-    instead of 4."""
+    The banded coordinate-gradient kernel is the wrong tool here (its
+    strength is gather-free dx/dy, never needed at detached coords, while
+    its image cotangent was the scatter chain — 4 × 83 ms of a 441 ms
+    MotionLearning step, docs/PERF.md round-5 decomposition).  Forward:
+    the measured-fastest gather formulation.  Backward on TPU: the
+    scatter-free banded image-cotangent kernel
+    (ops/pallas_warp.warp_image_cotangent) — the jnp scatter-add transpose
+    costs ~70 ns/index in every packing (tools/microbench_scatter.py);
+    elsewhere: plain autodiff of the gather (its VJP scatter).
+
+    Coords are stop-gradient'ed here to make the contract explicit: their
+    cotangents are zero on this path."""
+    x = jax.lax.stop_gradient(x)
+    y = jax.lax.stop_gradient(y)
+    if (
+        _WARP_IMPL != "gather"
+        and image.shape[2] >= _BANDED_MIN_W
+        and jax.default_backend() == "tpu"
+        and x.shape == y.shape
+        and x.shape[0] == image.shape[0]
+        and x.shape[-1] == image.shape[2]
+    ):
+        return _resample_const_coords_prim(image, x, y)
     return _resample_gather_auto(image, x, y)
 
 

@@ -52,8 +52,13 @@ def create_train_state(model, optimizer, sample_batch, rng, train: bool = True) 
 
 # Adaptive-window policy constants (docs/PERF.md round 5): switch to the
 # narrow executable after this many consecutive flag-free steps, back to
-# wide on the first flagged step, reading the flag signal LAG steps behind
-# the dispatch front so the host never drains the device pipeline.
+# wide on the first flagged step.  The flag signals are consumed by a
+# DAEMON THREAD (blocking device_get off the dispatch path): on the
+# tunneled chip a single host↔device round trip costs ~0.4 s, and a
+# first-design synchronous read 2 steps behind the front halved the
+# flagship bench (152.8 → 69.4 img/s measured) — the policy must cost the
+# step loop nothing.  The same thread eagerly compiles the narrow
+# executable so the switch never stalls the training stream.
 _ADAPT_LAG = 2
 _ADAPT_DOWN_STREAK = 3
 
@@ -214,38 +219,79 @@ def make_train_step(
     # host-side adaptive state (shared across batch structures: the signal
     # is per-trajectory, not per-shape)
     adapt = {"narrow": False, "streak": 0, "seq": 0}
-    inflight = []  # (seq, warp_narrow_frac device scalar)
     # set during tracing of the first (wide) variant; the policy stays off
     # for models whose step never takes the v2 tiled-warp route (supervised
     # families, planes narrower than V2_MIN_W)
     had_v2_warp = {"v": False}
+    worker = {"queue": None, "thread": None}
+
+    def _signal_worker(q):
+        """Daemon loop draining flag signals.  Signals are COALESCED: the
+        tunnel fetch (~0.4 s) can be slower than a step, so each cycle
+        drops all but the newest queued signal — the hysteresis then
+        counts drain cycles rather than exact steps, which only makes
+        switching more conservative."""
+        import queue as _queue
+
+        while True:
+            payload = q.get()
+            if payload is None:
+                return
+            try:
+                while True:
+                    payload = q.get_nowait()
+            except _queue.Empty:
+                pass
+            try:
+                _adapt_update(adapt, float(jax.device_get(payload)))
+            except Exception:
+                pass  # fetch raced an invalidated buffer: skip
+
+    def _ensure_worker():
+        if worker["thread"] is None:
+            import queue as _queue
+            import threading
+
+            worker["queue"] = _queue.Queue()
+            worker["thread"] = threading.Thread(
+                target=_signal_worker, args=(worker["queue"],), daemon=True,
+                name="adaptive-warp-signals",
+            )
+            worker["thread"].start()
 
     def run(state, batch, step_rng):
         # strip host-only entries (metadata lists etc.) before tracing
         batch = {k: v for k, v in batch.items() if hasattr(v, "shape")}
+        base_key = tuple(
+            sorted((k, v.shape, str(v.dtype)) for k, v in batch.items())
+        )
         ywin_active = 0
         if adaptive and had_v2_warp["v"]:
-            # consume flag signals that are ≥ LAG steps old (their device
-            # computation has long finished; fetching does not stall the
-            # in-flight steps)
-            while inflight and inflight[0][0] <= adapt["seq"] - _ADAPT_LAG:
-                _, frac = inflight.pop(0)
-                _adapt_update(adapt, float(jax.device_get(frac)))
-            if adapt["narrow"]:
+            narrow_key = base_key + (adaptive_ywin,)
+            if narrow_key not in _cache:
+                # Dispatch the narrow variant ONCE, now: it is exact in
+                # every coord regime (flagged tiles take the whole-plane
+                # patch branch), so this is a normal training step that
+                # happens to compile the second executable — the compile
+                # lands at call 2 (warmup territory for the benches, the
+                # startup phase for do_train), never mid-run.  From then
+                # on switching is free.
                 ywin_active = adaptive_ywin
-        key = tuple(
-            sorted((k, v.shape, str(v.dtype)) for k, v in batch.items())
-        ) + (ywin_active,)
+            elif adapt["narrow"]:
+                ywin_active = adaptive_ywin
+        key = base_key + (ywin_active,)
         if key not in _cache:
             _cache[key] = compile_for(batch, ywin_active)
         out_state, metrics = _cache[key](state, batch, step_rng)
         if adaptive and had_v2_warp["v"]:
-            inflight.append((adapt["seq"], metrics["warp_narrow_frac"]))
+            _ensure_worker()
+            worker["queue"].put(metrics["warp_narrow_frac"])
             adapt["seq"] += 1
         return out_state, metrics
 
     run.adapt = adapt  # introspection (tests, bench instrumentation)
     run.had_v2 = had_v2_warp
+    run.cache = _cache
     return run
 
 

@@ -132,15 +132,39 @@ def test_step_loop_switches_to_narrow():
         state, m = step(state, batch, jax.random.fold_in(key, i))
     assert not step.adapt["narrow"] and step.adapt["seq"] == 0
 
-    # force the trace-time v2 marker: the constantly-zero signal must now
-    # flip the controller to the narrow executable after streak+lag steps
+    # force the trace-time v2 marker: the very next call must dispatch the
+    # narrow executable once (it is exact in every regime — flagged tiles
+    # take the whole-plane patch branch — so the second compile lands in
+    # warmup territory, never mid-run), and the constantly-zero signal,
+    # fetched by the daemon thread (a synchronous per-step device_get
+    # halved flagship throughput over the tunnel), must then flip the
+    # controller to keep dispatching it.
+    import time
+
     step.had_v2["v"] = True
-    for i in range(TS._ADAPT_DOWN_STREAK + TS._ADAPT_LAG + 2):
-        state, m = step(state, batch, jax.random.fold_in(key, 100 + i))
-        assert "warp_narrow_frac" in m
-        assert float(m["warp_narrow_frac"]) == 0.0
+    narrow_key = tuple(
+        sorted((k, v.shape, str(v.dtype)) for k, v in batch.items())
+    ) + (48,)
+    state, m = step(state, batch, jax.random.fold_in(key, 100))
+    losses.append(float(m["total_loss"]))
+    assert "warp_narrow_frac" in m and float(m["warp_narrow_frac"]) == 0.0
+    assert narrow_key in step.cache  # the one-time narrow dispatch compiled it
+    deadline = time.time() + 120
+    i = 0
+    while time.time() < deadline and not step.adapt["narrow"]:
+        state, m = step(state, batch, jax.random.fold_in(key, 101 + i))
+        i += 1
         losses.append(float(m["total_loss"]))
-    assert step.adapt["narrow"]
+        time.sleep(0.05)
+    assert step.adapt["narrow"], step.adapt
+    # dispatch leg: with the policy narrow, the next call routes to the
+    # narrow executable
+    calls = []
+    real = step.cache[narrow_key]
+    step.cache[narrow_key] = lambda *a: (calls.append(1), real(*a))[1]
+    state, m = step(state, batch, jax.random.fold_in(key, 999))
+    assert calls == [1]
+    losses.append(float(m["total_loss"]))
     assert all(np.isfinite(l) for l in losses)
     # the frac metric must not leak into the summed total
     assert "total_loss" in m and float(m["total_loss"]) == pytest.approx(

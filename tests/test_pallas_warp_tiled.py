@@ -229,6 +229,42 @@ def test_image_grad_flag(img, rng):
                                atol=1e-5 * scale)
 
 
+@pytest.mark.parametrize("case", sorted(CASES))
+def test_image_cotangent_kernel(case, img, rng):
+    """Scatter-free image-cotangent kernel vs the autodiff oracle
+    (``jax.vjp`` of the exact 4-gather): every coord regime, f32 dots."""
+    xs, ys = _grid()
+    x, y = CASES[case](rng, xs, ys)
+    x = jnp.asarray(np.asarray(x, np.float32))
+    y = jnp.asarray(np.asarray(y, np.float32))
+    ct = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+
+    _, vjp = jax.vjp(lambda im: _resample_bilinear_4gather(im, x, y), img)
+    (want,) = vjp(ct)
+    got = pw.warp_image_cotangent(ct, x, y, H, dot_dtype=jnp.float32,
+                                  interpret=True)
+    # rtol covers f32 accumulation-order noise on heavily-collided pixels
+    # (wild coords concentrate hundreds of contributions onto one pixel)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5,
+                               rtol=1e-5)
+
+
+def test_image_cotangent_kernel_unaligned(rng):
+    """Unaligned Ho/W and Ho != Hin: padding must contribute zeros."""
+    Ho, Hin, Wn = 52, 44, 300
+    img = jnp.asarray(rng.rand(2, Hin, Wn, 3).astype(np.float32))
+    x = jnp.asarray((rng.rand(2, Ho, Wn) * (Wn + 6) - 3).astype(np.float32))
+    y = jnp.asarray((rng.rand(2, Ho, Wn) * (Hin + 6) - 3).astype(np.float32))
+    ct = jnp.asarray(rng.rand(2, Ho, Wn, 3).astype(np.float32))
+
+    _, vjp = jax.vjp(lambda im: _resample_bilinear_4gather(im, x, y), img)
+    (want,) = vjp(ct)
+    got = pw.warp_image_cotangent(ct, x, y, Hin, dot_dtype=jnp.float32,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5,
+                               rtol=1e-5)
+
+
 def test_small_width_routes_v1(rng):
     """Below V2_MIN_W the router keeps the v1 row-banded path (measured
     faster at 320-wide planes) and stays exact."""

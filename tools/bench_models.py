@@ -16,20 +16,24 @@ import numpy as np
 
 
 CASES = [
-    # (name, meta_arch, depth_net kwargs, pose?, B, H, W)
+    # (name, meta_arch, depth_net kwargs, pose?, B, H, W, case_opts)
     # reference shapes: Supervised Base.yaml KBCrops then RandomCrops to
     # 704x352 and trains IMS_PER_BATCH 16 (resnet18.yaml keeps 16);
-    # bts_r50.yaml overrides IMS_PER_BATCH to 8 at the same crop
-    ("Supervised-R18", "SupDepthModel", {"NAME": "DepthResNet", "ENCODER_NAME": "18"}, False, 16, 352, 704),
-    ("BTS-R50", "SupDepthModel", {"NAME": "BtsModel", "ENCODER_NAME": "resnet50_bts"}, False, 8, 352, 704),
-    ("MonoDepth2-R18", "MonoDepth2Model", {"NAME": "DepthResNet", "ENCODER_NAME": "18"}, True, 48, 192, 640),
+    # bts_r50.yaml overrides IMS_PER_BATCH to 8 at the same crop.
+    # BTS-R50 at 352x704 B=8 exceeds single-chip HBM without remat (the
+    # v5e worker OOM-crashes); TPU.REMAT fits it AND beats the largest
+    # non-remat batch per image (47.7 img/s vs B=2's 30.5, round 5)
+    ("Supervised-R18", "SupDepthModel", {"NAME": "DepthResNet", "ENCODER_NAME": "18"}, False, 16, 352, 704, ()),
+    ("BTS-R50", "SupDepthModel", {"NAME": "BtsModel", "ENCODER_NAME": "resnet50_bts"}, False, 8, 352, 704,
+     ("TPU.REMAT", "True")),
+    ("MonoDepth2-R18", "MonoDepth2Model", {"NAME": "DepthResNet", "ENCODER_NAME": "18"}, True, 48, 192, 640, ()),
     # reference shapes: packnet_1a.yaml trains 192x640 B=8; MotionLearning
     # Base.yaml trains 128x416 B=16
-    ("PackNet-1A", "MonoDepth2Model", {"NAME": "PackNet01", "VERSION": "1A"}, True, 8, 192, 640),
+    ("PackNet-1A", "MonoDepth2Model", {"NAME": "PackNet01", "VERSION": "1A"}, True, 8, 192, 640, ()),
     ("MotionLearning-R18", "MotionLearningModel",
      {"NAME": "GoogleResNet", "ENCODER_NAME": "18", "NORM": "randLN", "NOISE_STDDEV": 0.5,
       "RAMPUP_ITERS": 100, "UPSAMPLE_DEPTH": False, "LEARN_SCALE": False},
-     "motion", 16, 128, 416),
+     "motion", 16, 128, 416, ()),
 ]
 
 
@@ -116,7 +120,8 @@ def bench_case(name, meta, dn, pose, B, H, W, opts=()):
     optimizer, _ = build_optimizer(cfg, steps_per_epoch=100)
     mesh = build_mesh(("data",), (len(jax.devices()),))
     state = create_train_state(model, optimizer, batch, jax.random.PRNGKey(0))
-    step = make_train_step(model, optimizer, mesh, donate=True)
+    step = make_train_step(model, optimizer, mesh, donate=True,
+                           remat=bool(cfg.TPU.get("REMAT", False)))
     from simpledepthestimation_tpu.parallel.mesh import replicated
 
     dsh = data_sharding(mesh)
@@ -165,11 +170,12 @@ def main():
 
     enable_compilation_cache()
     for case in CASES:
-        name, meta, dn, pose, B, H, W = case
+        name, meta, dn, pose, B, H, W, case_opts = case
         if args.family and not name.lower().startswith(args.family.lower()):
             continue
         for b in ([int(x) for x in args.sweep.split(",")] if args.sweep else [B]):
-            bench_case(name, meta, dn, pose, b, H, W, args.opts)
+            bench_case(name, meta, dn, pose, b, H, W,
+                       tuple(case_opts) + tuple(args.opts))
 
 
 if __name__ == "__main__":

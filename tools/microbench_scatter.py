@@ -30,14 +30,17 @@ import numpy as np
 
 def bench(f, *args, iters=20):
     import jax
+    import jax.numpy as jnp
 
-    g = jax.jit(f)
-    out = g(*args)
-    jax.block_until_ready(out)
+    # device_get a scalar, not block_until_ready: on the tunneled axon
+    # backend block_until_ready can return before the stream drains
+    # (bench.py docstring)
+    g = jax.jit(lambda *a: jnp.sum(f(*a)))
+    float(jax.device_get(g(*args)))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = g(*args)
-    jax.block_until_ready(out)
+    float(jax.device_get(out))
     return (time.perf_counter() - t0) / iters * 1e3
 
 

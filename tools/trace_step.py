@@ -45,10 +45,10 @@ def main():
 
         case = next(c for c in CASES
                     if c[0].lower().startswith(args.family.lower()))
-        name, meta, dn, pose, B, H, W = case
+        name, meta, dn, pose, B, H, W, case_opts = case
         if args.batch:
             B = args.batch
-        cfg, batch = make_case(meta, dn, pose, B, H, W)
+        cfg, batch = make_case(meta, dn, pose, B, H, W, case_opts)
         print(f"tracing {name} B={B} {H}x{W}")
     else:
         from __graft_entry__ import _tiny_cfg, _train_batch
@@ -64,7 +64,8 @@ def main():
     model = build_model(cfg)
     opt, _ = build_optimizer(cfg, steps_per_epoch=100)
     state = create_train_state(model, opt, batch, jax.random.PRNGKey(0))
-    step = make_train_step(model, opt, mesh, donate=True)
+    step = make_train_step(model, opt, mesh, donate=True,
+                           remat=bool(cfg.TPU.get("REMAT", False)))
     from simpledepthestimation_tpu.parallel.mesh import replicated
 
     dsh = data_sharding(mesh)
