@@ -28,6 +28,10 @@ def main():
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--family", default="",
                    help="bench_models CASES family (prefix); default flagship")
+    p.add_argument("--no-adaptive", action="store_true",
+                   help="skip the adaptive-window narrow variant (halves "
+                        "compile time; the warp buckets are identical to the "
+                        "wide dispatch path)")
     args = p.parse_args()
 
     import jax
@@ -65,7 +69,8 @@ def main():
     opt, _ = build_optimizer(cfg, steps_per_epoch=100)
     state = create_train_state(model, opt, batch, jax.random.PRNGKey(0))
     step = make_train_step(model, opt, mesh, donate=True,
-                           remat=bool(cfg.TPU.get("REMAT", False)))
+                           remat=bool(cfg.TPU.get("REMAT", False)),
+                           adaptive_ywin=0 if args.no_adaptive else -1)
     from simpledepthestimation_tpu.parallel.mesh import replicated
 
     dsh = data_sharding(mesh)
